@@ -1,0 +1,229 @@
+"""Grid-based interaction pooling (occupancy / directional / social / dir_social).
+
+Behavioural mirror of /root/reference/trajnetbaselines/lstm/gridbased_pooling.py:15-400,
+re-designed for dense ``[scene, agent, ...]`` batches:
+
+- The reference deletes the diagonal, sends NaN positions to -500 m, scatters
+  per-neighbour values into a flattened grid with last-write-wins collisions
+  and funnels every out-of-range neighbour into cell 0 with the background
+  ``constant``.  Here the same semantics are expressed as one dense masked
+  one-hot contraction per step (an MXU-shaped [G, A] x [A, D] batched matmul),
+  with the diagonal and absent agents handled by masks instead of NaN.
+- Blur (stride-1 average pool, count_include_pad) and the p=1 lp-pool become
+  ``lax.reduce_window`` calls.
+
+Exactness notes (parity-critical, SURVEY.md 2.3):
+- duplicate cell indices resolve to the highest neighbour index (torch's
+  sequential advanced-indexing assignment ends with the last write),
+- out-of-range neighbours (including absent ones, which the reference places
+  at -500 m) overwrite cell 0 with ``constant`` in neighbour order,
+- grids are produced for every agent; the step engine discards rows of
+  non-participating agents exactly like the reference's masked selection.
+"""
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import init_linear, init_lstm_cell, linear, lstm_cell, init_mlp, mlp
+
+
+class GridBasedPooling:
+    """Static configuration for grid pooling; parameters live in a pytree."""
+
+    def __init__(
+        self,
+        type_: str = "occupancy",
+        hidden_dim: int = 128,
+        cell_side: float = 2.0,
+        n: int = 4,
+        out_dim: Optional[int] = None,
+        pool_size: int = 1,
+        blur_size: int = 1,
+        front: bool = False,
+        embedding_arch: str = "one_layer",
+        constant: float = 0.0,
+        norm: int = 0,
+        layer_dims: Optional[list] = None,
+        latent_dim: int = 16,
+    ):
+        assert type_ in ("occupancy", "directional", "social", "dir_social")
+        self.type_ = type_
+        self.hidden_dim = hidden_dim
+        self.cell_side = cell_side
+        self.n = n
+        self.pool_size = pool_size
+        self.blur_size = blur_size
+        self.front = front
+        self.constant = float(constant)
+        self.norm = norm
+        self.latent_dim = latent_dim
+        self.embedding_arch = embedding_arch
+        self.layer_dims = list(layer_dims) if layer_dims else [512]
+
+        self.pooling_dim = 1
+        if type_ == "directional":
+            self.pooling_dim = 2
+        elif type_ == "social":
+            self.pooling_dim = latent_dim
+        elif type_ == "dir_social":
+            self.pooling_dim = latent_dim + 2
+
+        self.out_dim = out_dim if out_dim is not None else hidden_dim
+        self.grid_dim = self.n * self.n * self.pooling_dim
+        self.stateful = embedding_arch == "lstm_layer"
+
+    # ---------------------------------------------------------------- params
+    def init_params(self, key) -> Dict:
+        keys = jax.random.split(key, 4)
+        params: Dict = {}
+        if self.type_ in ("social", "dir_social"):
+            params["hidden_dim_encoding"] = init_linear(keys[0], self.hidden_dim, self.latent_dim)
+
+        arch = self.embedding_arch
+        if arch == "one_layer":
+            params["embedding"] = init_mlp(keys[1], [self.grid_dim, self.out_dim])
+        elif arch == "two_layer":
+            params["embedding"] = init_mlp(keys[1], [self.grid_dim, self.layer_dims[0], self.out_dim])
+        elif arch == "three_layer":
+            params["embedding"] = init_mlp(
+                keys[1], [self.grid_dim, self.layer_dims[0], self.layer_dims[1], self.out_dim]
+            )
+        elif arch == "lstm_layer":
+            params["embedding"] = init_mlp(keys[1], [self.grid_dim, self.out_dim])
+            params["pool_lstm"] = init_lstm_cell(keys[2], self.out_dim, self.hidden_dim)
+            params["hidden2pool"] = init_linear(keys[3], self.hidden_dim, self.out_dim)
+        elif arch == "None":
+            pass
+        else:
+            raise ValueError(f"unknown embedding_arch {arch!r}")
+        return params
+
+    def init_state(self, num_scenes: int, num_agents: int):
+        if not self.stateful:
+            return None
+        shape = (num_scenes, num_agents, self.hidden_dim)
+        return (jnp.zeros(shape), jnp.zeros(shape))
+
+    # ----------------------------------------------------------------- grids
+    def _grid_values(self, hidden, obs1, obs2, present1, present2, params):
+        """Per-pair fill values [S, A, A, D] and their validity [S, A, A]."""
+        s, a = obs2.shape[:2]
+        if self.type_ == "occupancy":
+            values = jnp.ones((s, a, a, 1))
+            return values
+
+        vel_valid = (present1 & present2)[..., None]  # [S, A, 1]
+        vel = (obs2 - obs1) * vel_valid
+        # relative velocity of j wrt i; zero when either velocity is invalid
+        rel_vel = (vel[:, None, :, :] - vel[:, :, None, :]) * (
+            vel_valid[:, None, :, 0] & vel_valid[:, :, None, 0]
+        )[..., None]
+
+        if self.type_ == "directional":
+            return rel_vel
+
+        hidden_enc = linear(params["hidden_dim_encoding"], hidden)  # [S, A, latent]
+        hidden_grid = jnp.broadcast_to(
+            hidden_enc[:, None, :, :], (s, a, a, self.latent_dim)
+        )
+        if self.type_ == "social":
+            return hidden_grid
+        return jnp.concatenate([rel_vel, hidden_grid], axis=-1)  # dir_social
+
+    def make_grid(self, hidden, obs1, obs2, present1, present2, params) -> jnp.ndarray:
+        """Build the pooled grid tensor [S, A, D, n, n]."""
+        s, a = obs2.shape[:2]
+        nps = self.n * self.pool_size
+        g = nps * nps
+
+        values = self._grid_values(hidden, obs1, obs2, present1, present2, params)
+        d = values.shape[-1]
+
+        rel = obs2[:, None, :, :] - obs2[:, :, None, :]  # rel[s, i, j] = pos_j - pos_i
+        if self.front:
+            offset = jnp.array([nps / 2.0, 0.0])
+        else:
+            offset = jnp.array([nps / 2.0, nps / 2.0])
+        oij = rel / (self.cell_side / self.pool_size) + offset
+
+        visible = present2[:, None, :] & present2[:, :, None]  # both ends observed at t
+        not_self = ~jnp.eye(a, dtype=bool)[None]
+        in_range = jnp.all((oij >= 0) & (oij < nps), axis=-1) & visible & not_self
+
+        cell = jnp.floor(oij).astype(jnp.int32)
+        flat_cell = cell[..., 0] * nps + cell[..., 1]
+        write_cell = jnp.where(in_range, flat_cell, 0)  # out-of-range -> cell 0
+        write_value = jnp.where(in_range[..., None], values, self.constant)
+        write_valid = not_self  # every non-self neighbour writes (maybe constant@0)
+
+        # last-write-wins scatter via masked one-hot + batched contraction
+        onehot = (write_cell[..., None] == jnp.arange(g)) & write_valid[..., None]  # [S,A,A,G]
+        order = jnp.arange(1, a + 1)  # neighbour priority: higher j overwrites
+        last = jnp.max(onehot * order[None, None, :, None], axis=2)  # [S, A, G]
+        winner = onehot & (order[None, None, :, None] == last[:, :, None, :])
+        grid = jnp.einsum(
+            "sajg,sajd->sagd", winner.astype(values.dtype), write_value
+        )
+        occupied = (last > 0)[..., None]
+        grid = jnp.where(occupied, grid, self.constant)  # [S, A, G, D]
+
+        # channel-major layout matching the reference's transpose+view
+        grid2d = grid.reshape(s, a, nps, nps, d)
+        grid2d = jnp.moveaxis(grid2d, -1, 2)  # [S, A, D, nps, nps]
+
+        if self.blur_size > 1:
+            pad = int(self.blur_size / 2)
+            summed = jax.lax.reduce_window(
+                grid2d,
+                0.0,
+                jax.lax.add,
+                window_dimensions=(1, 1, 1, self.blur_size, self.blur_size),
+                window_strides=(1, 1, 1, 1, 1),
+                padding=((0, 0), (0, 0), (0, 0), (pad, pad), (pad, pad)),
+            )
+            grid2d = summed / float(self.blur_size ** 2)
+            # torch avg_pool2d keeps spatial dims with this padding only when
+            # blur is odd; even blurs grow the map by 1 like the reference
+            nps_b = grid2d.shape[-1]
+        else:
+            nps_b = nps
+
+        if self.pool_size > 1:
+            grid2d = jax.lax.reduce_window(
+                grid2d,
+                0.0,
+                jax.lax.add,
+                window_dimensions=(1, 1, 1, self.pool_size, self.pool_size),
+                window_strides=(1, 1, 1, self.pool_size, self.pool_size),
+                padding="VALID",
+            )
+        return grid2d
+
+    # ----------------------------------------------------------------- apply
+    def apply(
+        self,
+        params: Dict,
+        state,
+        hidden: jnp.ndarray,
+        obs1: jnp.ndarray,
+        obs2: jnp.ndarray,
+        present1: jnp.ndarray,
+        present2: jnp.ndarray,
+        slot_mask: jnp.ndarray = None,
+    ) -> Tuple[jnp.ndarray, object]:
+        s, a = obs2.shape[:2]
+        grid = self.make_grid(hidden, obs1, obs2, present1, present2, params)
+        flat = grid.reshape(s, a, -1)
+
+        if self.embedding_arch == "None":
+            return flat, state
+        emb = mlp(params["embedding"], flat)
+        if not self.stateful:
+            return emb, state
+
+        h, c = state
+        h_new, c_new = lstm_cell(params["pool_lstm"], emb, (h, c))
+        out = linear(params["hidden2pool"], h_new)
+        return out, (h_new, c_new)

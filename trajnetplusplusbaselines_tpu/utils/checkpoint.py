@@ -1,0 +1,89 @@
+"""Checkpointing: whole-predictor pickles plus a training-state sidecar.
+
+Mirrors the reference's two-file scheme
+(/root/reference/trajnetbaselines/lstm/lstm.py:266-282 and trainer.py:62-76):
+``<out>`` holds the inference predictor, ``<out>.state`` holds
+{epoch, params, optimizer state, scheduler state} for resume.  Parameters are
+stored as host numpy pytrees so checkpoints are device-independent.
+
+Restore modes (trainer flags, SURVEY.md section 5.4):
+- load-state: weights only (transfer learning)
+- nonstrict-load-state: weights whose names/shapes still match
+- load-full-state: weights + optimizer + scheduler + epoch
+"""
+
+import pickle
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree.map(np.asarray, jax.device_get(tree))
+
+
+def save_predictor(predictor, state, filename: str) -> None:
+    payload = {
+        "predictor_class": type(predictor).__name__,
+        "model": predictor.model,
+        "params": _to_host(predictor.params),
+    }
+    with open(filename, "wb") as f:
+        pickle.dump(payload, f)
+    if state is not None:
+        with open(filename + ".state", "wb") as f:
+            pickle.dump(_to_host(state), f)
+
+
+def load_predictor(filename: str):
+    with open(filename, "rb") as f:
+        payload = pickle.load(f)
+
+    from ..models import lstm as lstm_mod
+    from ..models import sgan as sgan_mod
+    from ..models import vae as vae_mod
+
+    classes = {
+        "LSTMPredictor": lstm_mod.LSTMPredictor,
+        "SGANPredictor": sgan_mod.SGANPredictor,
+        "VAEPredictor": vae_mod.VAEPredictor,
+    }
+    cls = classes[payload["predictor_class"]]
+    return cls(payload["model"], payload["params"])
+
+
+def load_state(filename: str) -> Dict:
+    with open(filename, "rb") as f:
+        return pickle.load(f)
+
+
+def merge_params_nonstrict(init_params, loaded_params) -> Tuple[Any, list]:
+    """Copy loaded leaves whose path and shape match; report the rest."""
+    skipped = []
+
+    def merge(path, init_leaf, tree):
+        node = tree
+        for p in path:
+            if isinstance(node, dict) and p in node:
+                node = node[p]
+            elif isinstance(node, (list, tuple)) and isinstance(p, int) and p < len(node):
+                node = node[p]
+            else:
+                skipped.append("/".join(map(str, path)))
+                return init_leaf
+        if hasattr(node, "shape") and hasattr(init_leaf, "shape") and node.shape == init_leaf.shape:
+            return node
+        skipped.append("/".join(map(str, path)))
+        return init_leaf
+
+    def walk(path, node):
+        if isinstance(node, dict):
+            return {k: walk(path + (k,), v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(path + (i,), v) for i, v in enumerate(node)]
+        if isinstance(node, tuple):
+            return tuple(walk(path + (i,), v) for i, v in enumerate(node))
+        return merge(path, node, loaded_params)
+
+    return walk((), init_params), skipped
