@@ -1,0 +1,88 @@
+"""Integration test: predict -> write -> evaluate on a synthetic dataset."""
+
+import os
+import types
+
+import numpy as np
+import pytest
+
+from trajnetplusplusbaselines_tpu.evaluator import (
+    Table,
+    preprocess_test,
+    trajnet_evaluate,
+    write_predictions,
+)
+from trajnetplusplusbaselines_tpu.evaluator.driver import get_predictions, list_test_datasets
+from trajnetplusplusbaselines_tpu.models.classical import constant_velocity
+
+from .helpers import make_synthetic_dataset
+
+
+def make_args(tmp_path, dataset="synthset"):
+    return types.SimpleNamespace(
+        path=os.path.join(tmp_path, "DATA_BLOCK", dataset, "test_pred/"),
+        obs_length=9,
+        pred_length=12,
+        modes=1,
+        labels=None,
+        disable_collision=False,
+        write_only=False,
+        goal_flag=False,
+        output=["/cv.pkl"],
+    )
+
+
+@pytest.fixture
+def dataset_tree(tmp_path):
+    root = os.path.join(str(tmp_path), "DATA_BLOCK", "synthset")
+    make_synthetic_dataset(root)
+    return str(tmp_path)
+
+
+def test_end_to_end_cv_evaluation(dataset_tree, monkeypatch):
+    args = make_args(dataset_tree)
+    os.makedirs(args.path, exist_ok=True)
+
+    def cv_predictor(paths, goal):
+        return constant_velocity.predict(
+            paths, n_predict=args.pred_length, obs_length=args.obs_length
+        )
+
+    monkeypatch.chdir(dataset_tree)  # Results.png lands in tmp
+    get_predictions({"cv_modes1": cv_predictor}, args)
+
+    pred_file = os.path.join(args.path, "cv_modes1", "synth.ndjson")
+    assert os.path.exists(pred_file)
+
+    table = trajnet_evaluate(args)
+    overall = table.results["cv_modes1"][32:40]
+    n, ade, fde = overall[0], overall[1], overall[2]
+    assert n == 4  # all synthetic scenes scored
+    # synthetic tracks are perfectly linear: CV is exact
+    assert ade == pytest.approx(0.0, abs=1e-6)
+    assert fde == pytest.approx(0.0, abs=1e-6)
+    # linear scene type got the two even scenes; type III the odd ones
+    assert table.results["cv_modes1"][8] == 2
+    assert table.results["cv_modes1"][16] == 2
+    # CA subtype metrics counted for the odd scenes
+    assert table.sub_results["cv_modes1"][8] == 2
+    assert os.path.exists(os.path.join(dataset_tree, "Results.png"))
+
+
+def test_skip_if_exists_caching(dataset_tree, capsys):
+    args = make_args(dataset_tree)
+    os.makedirs(os.path.join(args.path, "cv_modes1"), exist_ok=True)
+    get_predictions({"cv_modes1": lambda p, g: pytest.fail("must not be called")}, args)
+    assert "already exist" in capsys.readouterr().out
+
+
+def test_preprocess_test_drops_late_tracks():
+    from trajnetplusplusbaselines_tpu.data.rows import TrackRow
+
+    scene = [
+        [TrackRow(f, 1, float(f), 0.0) for f in range(21)],
+        [TrackRow(f, 2, float(f), 1.0) for f in range(12, 21)],  # appears post-obs
+    ]
+    out = preprocess_test(scene, obs_len=9)
+    assert len(out) == 1
+    assert out[0][-1].frame == 8

@@ -1,0 +1,77 @@
+"""Prediction + evaluation driver.
+
+Replaces the reference's per-model evaluator scripts
+(/root/reference/trajnetbaselines/lstm/trajnet_evaluator.py:15-107 and
+classical/trajnet_evaluator.py:47-96).  The reference fans prediction out to
+12 joblib processes; here learned models batch whole datasets onto the device
+while classical predictors run vectorized on host.  Skip-if-exists caching
+and the --write_only escape hatch are preserved.
+"""
+
+import os
+from typing import Callable, Dict, List
+
+from .write_utils import load_test_datasets, preprocess_test, write_predictions
+
+
+def ensure_data_block(data_root: str, local_root: str, datasets: List[str]) -> None:
+    """Symlink read-only source datasets into the writable DATA_BLOCK tree."""
+    for name in datasets:
+        src = os.path.join(data_root, name)
+        dst = os.path.join(local_root, name)
+        os.makedirs(dst, exist_ok=True)
+        for subset in ("test", "test_private"):
+            src_sub = os.path.join(src, subset)
+            dst_sub = os.path.join(dst, subset)
+            if os.path.isdir(src_sub) and not os.path.exists(dst_sub):
+                os.symlink(os.path.abspath(src_sub), dst_sub)
+
+
+def list_test_datasets(path: str) -> List[str]:
+    """Dataset stems in the test dir (args.path is .../test_pred/)."""
+    test_dir = path.replace("_pred", "")
+    return sorted(
+        f.replace(".ndjson", "")
+        for f in os.listdir(test_dir)
+        if f.endswith(".ndjson")
+    )
+
+
+def get_predictions(predictors: Dict[str, Callable], args) -> None:
+    """Write test_pred ndjson files for every (model, dataset) pair.
+
+    predictors: {model_name: fn(paths, scene_goal) -> {mode: (primary, neighs)}}
+    """
+    datasets = list_test_datasets(args.path)
+
+    for model_name, predictor in predictors.items():
+        model_dir = os.path.join(args.path, model_name)
+        if os.path.exists(model_dir):
+            print(f"Predictions corresponding to {model_name} already exist.")
+            print("Loading the saved predictions")
+            continue
+        os.makedirs(model_dir, exist_ok=True)
+
+        for dataset in datasets:
+            dataset_name, scenes, scene_goals = load_test_datasets(
+                dataset, getattr(args, "goal_flag", False), args
+            )
+            processed = [preprocess_test(s, args.obs_length) for _, _, s in scenes]
+            pred_list = [
+                predictor(paths, goal)
+                for paths, goal in zip(processed, scene_goals)
+            ]
+            # predictions keyed by mode index -> ordered list
+            pred_list = [
+                [p[m] for m in range(len(p))] for p in pred_list
+            ]
+            write_predictions(pred_list, scenes, model_name, dataset_name, args)
+
+
+def run_evaluation(predictors: Dict[str, Callable], args):
+    get_predictions(predictors, args)
+    if getattr(args, "write_only", False):
+        return None
+    from .trajnet_evaluator import trajnet_evaluate
+
+    return trajnet_evaluate(args)
