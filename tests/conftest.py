@@ -14,4 +14,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")  # belt and braces vs. plugin pre-imports
 jax.config.update("jax_enable_x64", True)  # float64 in tests: exact parity vs the reference
