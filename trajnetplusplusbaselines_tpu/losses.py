@@ -54,6 +54,14 @@ def prediction_loss(
     if scene_mask is None:
         scene_mask = jnp.ones((s,), dtype=bool)
 
+    # padded scenes carry zeroed normals (sigma = 0); replace them with a safe
+    # unit Gaussian BEFORE the division so neither the loss nor its gradient
+    # can produce NaN (0 * inf) on masked lanes
+    safe = jnp.array([0.0, 0.0, 1.0, 1.0, 0.0], dtype=inputs.dtype)
+    m = scene_mask[None, :, None]
+    inputs = jnp.where(m, inputs, safe)
+    targets = jnp.where(m, targets, 0.0)
+
     inputs_bg = jnp.concatenate(
         [
             inputs[..., 0:2],
