@@ -50,22 +50,34 @@ def get_predictions(predictors: Dict[str, Callable], args) -> None:
             print(f"Predictions corresponding to {model_name} already exist.")
             print("Loading the saved predictions")
             continue
-        os.makedirs(model_dir, exist_ok=True)
+        # write into a temp dir and rename at the end: an interrupted run must
+        # not leave a partial dir that the skip-if-exists cache would trust
+        tmp_dir = model_dir + ".tmp"
+        if os.path.exists(tmp_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir, exist_ok=True)
 
         for dataset in datasets:
             dataset_name, scenes, scene_goals = load_test_datasets(
                 dataset, getattr(args, "goal_flag", False), args
             )
             processed = [preprocess_test(s, args.obs_length) for _, _, s in scenes]
-            pred_list = [
-                predictor(paths, goal)
-                for paths, goal in zip(processed, scene_goals)
-            ]
+            if hasattr(predictor, "predict_dataset"):
+                pred_list = predictor.predict_dataset(processed, scene_goals, args)
+            else:
+                pred_list = [
+                    predictor(paths, goal)
+                    for paths, goal in zip(processed, scene_goals)
+                ]
             # predictions keyed by mode index -> ordered list
             pred_list = [
                 [p[m] for m in range(len(p))] for p in pred_list
             ]
-            write_predictions(pred_list, scenes, model_name, dataset_name, args)
+            write_predictions(pred_list, scenes, model_name + ".tmp", dataset_name, args)
+
+        os.rename(tmp_dir, model_dir)
 
 
 def run_evaluation(predictors: Dict[str, Callable], args):

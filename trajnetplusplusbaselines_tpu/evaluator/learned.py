@@ -1,0 +1,142 @@
+"""Batched dataset prediction for learned models.
+
+The reference predicts test scenes one-by-one across 12 joblib processes
+(/root/reference/trajnetbaselines/lstm/trajnet_evaluator.py:61).  Here scenes
+are grouped by agent bucket and rolled out in large device batches — one
+jit-compiled executable per bucket, thousands of scenes per call.
+"""
+
+from collections import defaultdict
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import Reader, augmentation, batching
+
+
+class BatchedPredictor:
+    """Wraps a model predictor for whole-dataset batched rollout.
+
+    The predictor must expose .model (with .forward) and .params.
+    Multimodal models take a key per mode; mode 0 keeps neighbours, further
+    modes keep the primary only (matching SGANPredictor/VAEPredictor).
+    """
+
+    def __init__(self, predictor, modes: int = 1, batch_scenes: int = 64, seed: int = 0):
+        self.predictor = predictor
+        self.modes = modes
+        self.batch_scenes = batch_scenes
+        self.seed = seed
+        self._jit_cache = {}
+
+    def _rollout(self, num_scenes, num_agents, n_predict):
+        """jit fn(xy, mask, goals, slot, key) -> (preds [K,T',S,A,2], valid [K,T',S,A])."""
+        cache_key = (num_scenes, num_agents, n_predict)
+        if cache_key not in self._jit_cache:
+            from ..models.sgan import SGAN
+            from ..models.vae import VAE
+
+            model, params = self.predictor.model, self.predictor.params
+            modes = self.modes
+
+            if isinstance(model, SGAN):
+                def fn(xy, mask, goals, slot_mask, key):
+                    _, pred_list, valid_list, _, _ = model.forward(
+                        params, xy, mask, goals, slot_mask,
+                        n_predict=n_predict, key=key, k=modes,
+                    )
+                    return jnp.stack(pred_list), jnp.stack(valid_list)
+            elif isinstance(model, VAE):
+                def fn(xy, mask, goals, slot_mask, key):
+                    _, pred_list, valid_list, _, _ = model.forward(
+                        params, xy, mask, goals, slot_mask,
+                        n_predict=n_predict, key=key, training=False, num_modes=modes,
+                    )
+                    return jnp.stack(pred_list), jnp.stack(valid_list)
+            else:
+                # deterministic LSTM: all modes identical (as in the reference)
+                def fn(xy, mask, goals, slot_mask, key):
+                    _, pred, valid = model.forward(
+                        params, xy, mask, goals, slot_mask, n_predict=n_predict
+                    )
+                    return pred[None], valid[None]
+
+            self._jit_cache[cache_key] = jax.jit(fn)
+        return self._jit_cache[cache_key]
+
+    def predict_dataset(self, processed_scenes: List[list], scene_goals, args):
+        """processed_scenes: per-scene path lists already preprocess_test-ed.
+
+        Returns a list of {mode: [primary [n,2], neighbours [n,Nn,2]]}.
+        """
+        n_predict = args.pred_length
+        obs_length = args.obs_length
+        normalize = getattr(args, "normalize_scene", False)
+
+        prepared = []
+        for paths, goal in zip(processed_scenes, scene_goals):
+            xy = Reader.paths_to_xy(paths)
+            goal = np.asarray(goal, dtype=np.float64)
+            rotation = center = None
+            if normalize:
+                xy, rotation, center, goal = augmentation.center_scene(
+                    xy, obs_length, goals=goal
+                )
+            prepared.append((xy[:obs_length], goal, rotation, center, xy.shape[1]))
+
+        # group by agent bucket
+        by_bucket = defaultdict(list)
+        for i, (xy, *_rest) in enumerate(prepared):
+            by_bucket[batching.agent_bucket(xy.shape[1])].append(i)
+
+        results = [None] * len(prepared)
+        for bucket, indices in sorted(by_bucket.items()):
+            for start in range(0, len(indices), self.batch_scenes):
+                chunk = indices[start : start + self.batch_scenes]
+                xs = [prepared[i][0] for i in chunk]
+                gs = []
+                for i in chunk:
+                    g = np.zeros((bucket, 2), dtype=np.float64)
+                    real = prepared[i][1][:bucket]
+                    g[: len(real)] = real
+                    gs.append(g)
+                packed = batching.pack_scenes(
+                    xs, gs, bucket=bucket, pad_scenes_to=self.batch_scenes
+                )
+                slot = np.arange(bucket)[None] < packed.num_agents[:, None]
+                fn = self._rollout(self.batch_scenes, bucket, n_predict)
+
+                self.seed += 1
+                preds, valids = fn(
+                    jnp.asarray(packed.xy),
+                    jnp.asarray(packed.mask),
+                    jnp.asarray(packed.goals),
+                    jnp.asarray(slot),
+                    jax.random.PRNGKey(self.seed),
+                )
+                preds = np.asarray(preds)
+                valids = np.asarray(valids)
+                n_modes_out = preds.shape[0]
+
+                for mode in range(self.modes):
+                    out = batching.mask_to_nan(
+                        preds[min(mode, n_modes_out - 1)],
+                        valids[min(mode, n_modes_out - 1)],
+                    )  # [T', S, A, 2]
+
+                    for s, i in enumerate(chunk):
+                        _, _, rotation, center, n_agents = prepared[i]
+                        scene_out = out[-n_predict:, s, :n_agents]
+                        if normalize:
+                            scene_out = augmentation.inverse_scene(
+                                scene_out, rotation, center
+                            )
+                        if results[i] is None:
+                            results[i] = {}
+                        if mode == 0:
+                            results[i][mode] = [scene_out[:, 0], scene_out[:, 1:]]
+                        else:
+                            results[i][mode] = [scene_out[:, 0], []]
+        return results

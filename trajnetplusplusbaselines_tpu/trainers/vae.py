@@ -1,0 +1,292 @@
+"""Command-line VAE trainer.
+
+Behavioural mirror of /root/reference/trajnetbaselines/vae/trainer.py:29-549:
+reconstruction loss averaged over k decoded modes plus alpha_kld-weighted KL
+divergence of the posterior against the prior (standard normal under the
+DESIRE-style default), one jitted step per batch bucket.
+"""
+
+import argparse
+import functools
+import logging
+import os
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import __version__ as VERSION
+from ..data.load import prepare_data
+from ..losses import kld_loss, l2_loss, prediction_loss
+from ..models.vae import VAE, VAEPredictor
+from ..ops.pooling import make_pool
+from ..utils import checkpoint as ckpt
+from .common import (
+    SceneDataset,
+    log_process_record,
+    make_optimizer,
+    set_lr,
+    setup_logging,
+    step_lr,
+)
+from .lstm import add_arguments
+
+
+class Trainer:
+    def __init__(self, model: VAE, params, optimizer, lr_schedule, criterion="pred",
+                 batch_size=8, obs_length=9, pred_length=12, augment=True,
+                 normalize_scene=False, save_every=1, start_length=0,
+                 obs_dropout=False, augment_noise=False, alpha_kld=1.0,
+                 val_flag=True, seed=42):
+        self.model = model
+        self.params = params
+        self.optimizer = optimizer
+        self.opt_state = optimizer.init(params)
+        self.lr_schedule = lr_schedule
+        self.criterion = criterion
+        self.log = logging.getLogger(self.__class__.__name__)
+
+        self.batch_size = batch_size
+        self.obs_length = obs_length
+        self.pred_length = pred_length
+        self.seq_length = obs_length + pred_length
+        self.augment = augment
+        self.augment_noise = augment_noise
+        self.normalize_scene = normalize_scene
+        self.save_every = save_every
+        self.start_length = start_length
+        self.obs_dropout = obs_dropout
+        self.alpha_kld = alpha_kld
+        self.val_flag = val_flag
+
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self._step_cache = {}
+
+    def _losses(self, params, xy, mask, goals, slot_mask, scene_mask, key, training):
+        observed = xy[self.start_length : self.obs_length]
+        observed_mask = mask[self.start_length : self.obs_length]
+        truth = xy[self.obs_length : self.seq_length - 1]
+        truth_mask = mask[self.obs_length : self.seq_length - 1]
+        rel_list, _, _, z_distr_xy, z_distr_x = self.model.forward(
+            params, observed, observed_mask, goals, slot_mask,
+            prediction_truth=truth, prediction_truth_mask=truth_mask,
+            key=key, training=training,
+        )
+
+        targets = (
+            xy[self.obs_length : self.seq_length, :, 0]
+            - xy[self.obs_length - 1 : self.seq_length - 1, :, 0]
+        )
+        reconstr = 0.0
+        for rel in rel_list:
+            primary_rel = rel[-self.pred_length :, :, 0]
+            if self.criterion == "L2":
+                reconstr += l2_loss(primary_rel, targets, scene_mask) * self.batch_size
+            else:
+                reconstr += prediction_loss(primary_rel, targets, scene_mask) * self.batch_size
+        reconstr = reconstr / self.model.num_modes
+
+        kld = 0.0
+        if z_distr_xy is not None:
+            primary_xy = z_distr_xy[:, 0]  # [S, 2*latent] primaries only
+            primary_x = z_distr_x[:, 0] if z_distr_x is not None else None
+            kld = kld_loss(primary_xy, primary_x) * self.batch_size
+        return reconstr, kld
+
+    def _make_train_step(self, shape_key):
+        def loss_fn(params, xy, mask, goals, slot_mask, scene_mask, key):
+            reconstr, kld = self._losses(
+                params, xy, mask, goals, slot_mask, scene_mask, key, True
+            )
+            return reconstr + self.alpha_kld * kld, reconstr
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, xy, mask, goals, slot_mask, scene_mask, key):
+            (loss, reconstr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, xy, mask, goals, slot_mask, scene_mask, key
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, reconstr
+
+        return step
+
+    # ----------------------------------------------------------------- loops
+    def loop(self, train_scenes, val_scenes, out, epochs=25, start_epoch=0):
+        for epoch in range(start_epoch, epochs):
+            if epoch % self.save_every == 0:
+                self.save_checkpoint(epoch, out + f".epoch{epoch}")
+            self.train(train_scenes, epoch)
+            if self.val_flag and val_scenes is not None:
+                self.val(val_scenes, epoch)
+        self.save_checkpoint(epochs, out + f".epoch{epochs}")
+        self.save_checkpoint(epochs, out)
+
+    def save_checkpoint(self, epoch, filename):
+        state = {"epoch": epoch, "params": self.params, "opt_state": self.opt_state}
+        VAEPredictor(self.model, self.params).save(state, filename)
+
+    def train(self, scenes: SceneDataset, epoch: int):
+        start_time = time.time()
+        print("epoch", epoch)
+        self.opt_state = set_lr(self.opt_state, self.lr_schedule(epoch))
+
+        epoch_loss = 0.0
+        scene_i = 0
+        last_loss = total_time = 0.0
+        for packed in scenes.epoch_batches(
+            self.batch_size, self.rng, self.augment, self.augment_noise
+        ):
+            scene_start = time.time()
+            slot_mask = np.arange(packed.max_agents)[None] < packed.num_agents[:, None]
+            scene_mask = packed.num_agents > 0
+            self.key, sub = jax.random.split(self.key)
+
+            shape_key = (packed.num_scenes, packed.max_agents)
+            if shape_key not in self._step_cache:
+                self._step_cache[shape_key] = self._make_train_step(shape_key)
+            step = self._step_cache[shape_key]
+
+            self.params, self.opt_state, loss = step(
+                self.params, self.opt_state,
+                jnp.asarray(packed.xy), jnp.asarray(packed.mask),
+                jnp.asarray(packed.goals), jnp.asarray(slot_mask),
+                jnp.asarray(scene_mask), sub,
+            )
+            last_loss = float(loss)
+            epoch_loss += last_loss
+            total_time = time.time() - scene_start
+            scene_i += packed.num_scenes
+
+            if scene_i % (10 * self.batch_size) == 0:
+                self.log.info({
+                    "type": "train",
+                    "epoch": epoch, "batch": scene_i, "n_batches": len(scenes),
+                    "time": round(total_time, 3),
+                    "lr": float(self.lr_schedule(epoch)),
+                    "loss": round(last_loss, 3),
+                })
+
+        self.log.info({
+            "type": "train-epoch",
+            "epoch": epoch + 1,
+            "loss": round(epoch_loss / max(len(scenes), 1), 5),
+            "time": round(time.time() - start_time, 1),
+        })
+
+    def val(self, scenes: SceneDataset, epoch: int):
+        eval_start = time.time()
+        val_loss = 0.0
+
+        @jax.jit
+        def val_step(params, xy, mask, goals, slot_mask, scene_mask, key):
+            reconstr, kld = self._losses(
+                params, xy, mask, goals, slot_mask, scene_mask, key, True
+            )
+            return reconstr + self.alpha_kld * kld
+
+        for packed in scenes.epoch_batches(self.batch_size, self.rng, shuffle=False):
+            slot_mask = np.arange(packed.max_agents)[None] < packed.num_agents[:, None]
+            scene_mask = packed.num_agents > 0
+            self.key, sub = jax.random.split(self.key)
+            val_loss += float(val_step(
+                self.params, jnp.asarray(packed.xy), jnp.asarray(packed.mask),
+                jnp.asarray(packed.goals), jnp.asarray(slot_mask),
+                jnp.asarray(scene_mask), sub,
+            ))
+
+        self.log.info({
+            "type": "val-epoch",
+            "epoch": epoch + 1,
+            "loss": round(val_loss / max(len(scenes), 1), 3),
+            "time": round(time.time() - eval_start, 1),
+        })
+
+
+def main(epochs=25, argv=None):
+    parser = argparse.ArgumentParser()
+    add_arguments(parser, epochs)
+    vae_group = parser.add_argument_group("vae")
+    vae_group.add_argument("--alpha_kld", type=float, default=1.0)
+    vae_group.add_argument("--k", type=int, default=1, help="number of decoded modes")
+    vae_group.add_argument("--vae_latent_dim", type=int, default=128,
+                           help="latent dimension of the VAE bottleneck")
+    args = parser.parse_args(argv)
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    if not os.path.exists(f"OUTPUT_BLOCK/{args.path}"):
+        os.makedirs(f"OUTPUT_BLOCK/{args.path}")
+    prefix = "vae_goals" if args.goals else "vae"
+    args.output = f"OUTPUT_BLOCK/{args.path}/{prefix}_{args.type}_{args.output}.pkl"
+
+    setup_logging(args.output, append=bool(args.load_full_state))
+    log_process_record(args, VERSION)
+
+    args.load_state_strict = True
+    if args.nonstrict_load_state:
+        args.load_state = args.nonstrict_load_state
+        args.load_state_strict = False
+    if args.load_full_state:
+        args.load_state = args.load_full_state
+
+    data_path = os.path.join(args.data_root, args.path)
+    train_scenes, train_goals, _ = prepare_data(
+        data_path, subset="/train/", sample=args.sample, goals=args.goals
+    )
+    val_scenes, val_goals, val_flag = prepare_data(
+        data_path, subset="/val/", sample=args.sample, goals=args.goals
+    )
+
+    pool = make_pool(args.type, args)
+    model = VAE(
+        embedding_dim=args.coordinate_embedding_dim, hidden_dim=args.hidden_dim,
+        pool=pool, goal_flag=args.goals, goal_dim=args.goal_dim,
+        num_modes=args.k, latent_dim=args.vae_latent_dim,
+    )
+    params = model.init_params(jax.random.PRNGKey(args.seed))
+
+    optimizer = make_optimizer(weight_decay=1e-4)
+    lr_schedule = step_lr(args.lr, args.step_size)
+
+    start_epoch = 0
+    if args.load_state:
+        print("Loading Model Dict")
+        state = ckpt.load_state(args.load_state)
+        if args.load_state_strict:
+            params = jax.tree.map(jnp.asarray, state["params"])
+        else:
+            params, skipped = ckpt.merge_params_nonstrict(params, state["params"])
+            if skipped:
+                print("nonstrict load skipped:", skipped)
+
+    trainer = Trainer(
+        model, params, optimizer, lr_schedule, criterion=args.loss,
+        batch_size=args.batch_size, obs_length=args.obs_length,
+        pred_length=args.pred_length, augment=args.augment,
+        normalize_scene=args.normalize_scene, save_every=args.save_every,
+        start_length=args.start_length, obs_dropout=args.obs_dropout,
+        augment_noise=args.augment_noise, alpha_kld=args.alpha_kld,
+        val_flag=val_flag, seed=args.seed,
+    )
+
+    if args.load_full_state:
+        print("Loading Optimizer Dict")
+        state = ckpt.load_state(args.load_full_state)
+        trainer.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        start_epoch = state["epoch"]
+
+    train_ds = SceneDataset(train_scenes, train_goals, args.obs_length, args.normalize_scene)
+    val_ds = (
+        SceneDataset(val_scenes, val_goals, args.obs_length, args.normalize_scene)
+        if val_scenes is not None else None
+    )
+    trainer.loop(train_ds, val_ds, args.output, epochs=args.epochs, start_epoch=start_epoch)
+
+
+if __name__ == "__main__":
+    main()
