@@ -1,0 +1,72 @@
+"""Benchmark: scenes/sec for the flagship D-LSTM 9-obs/12-pred rollout.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference PyTorch engine (directional grid pooling, hidden 128,
+n=12, cell_side 0.6) rolls out 114.85 scenes/sec on this container's CPU in
+its native batched-8 mode (measured via tests/reference_harness executing
+/root/reference trajnetbaselines.lstm with 8-agent scenes; the single-scene
+joblib-eval shape manages 37 scenes/sec).  vs_baseline = ours / 114.85.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_SCENES_PER_SEC = 114.85  # torch CPU, batch=8, A=8, D-LSTM rollout
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from trajnetplusplusbaselines_tpu.models.lstm import LSTM
+    from trajnetplusplusbaselines_tpu.ops.pooling import GridBasedPooling
+
+    pool = GridBasedPooling(
+        type_="directional", hidden_dim=128, cell_side=0.6, n=12, out_dim=256
+    )
+    model = LSTM(pool=pool, embedding_dim=64, hidden_dim=128)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    s, a, t = 65536, 8, 21
+    rng = np.random.default_rng(0)
+    xy = (rng.normal(size=(t, s, a, 2)).cumsum(axis=0) * 0.3).astype(np.float32)
+    mask = np.ones((t, s, a), bool)
+    goals = np.zeros((s, a, 2), np.float32)
+    slot = np.ones((s, a), bool)
+
+    @jax.jit
+    def rollout(params, xy, mask, goals, slot):
+        rel, pred, valid = model.forward(
+            params, xy[:9], mask[:9], goals, slot, n_predict=12
+        )
+        # scalar reduce: forces full on-device execution; float() below is the
+        # host sync (block_until_ready is unreliable through the TPU tunnel)
+        return jnp.sum(pred)
+
+    args = (params, jnp.asarray(xy), jnp.asarray(mask), jnp.asarray(goals), jnp.asarray(slot))
+    float(rollout(*args))  # compile + warmup
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(rollout(*args))
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = s * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "dlstm_rollout_scenes_per_sec",
+                "value": round(scenes_per_sec, 1),
+                "unit": "scenes/sec (9-obs/12-pred, A=8, directional pooling)",
+                "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,12 @@
+from .mesh import batch_sharding, make_mesh, param_sharding_rule, scene_sharding, shard_params
+from .train import make_sharded_rollout, make_sharded_train_step
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "param_sharding_rule",
+    "scene_sharding",
+    "shard_params",
+    "make_sharded_rollout",
+    "make_sharded_train_step",
+]
