@@ -196,10 +196,22 @@ def predict(paths, predict_all: bool = True, n_predict: int = 12, obs_length: in
     if not kept_index or kept_index[0] != 0:
         raise ValueError("primary pedestrian has insufficient past for KF")
 
-    ys = jnp.asarray(np.stack(seqs))
-    mask = jnp.asarray(np.stack(masks))
-    keys = jax.random.split(jax.random.PRNGKey(seed), len(seqs))
-    preds = np.asarray(kf_predict_batch(ys, mask, keys, n_predict=n_predict))
+    # pad the agent axis to a bucket so jit compiles once per bucket size
+    from ...data.batching import agent_bucket
+
+    n_real = len(seqs)
+    n_pad = agent_bucket(n_real)
+    for _ in range(n_pad - n_real):
+        seqs.append(np.zeros((max_len, 2)))
+        masks.append(np.zeros(max_len, bool))
+
+    # classical baselines are tiny host-side models: pin them to the CPU
+    # backend so per-scene calls never round-trip the TPU tunnel
+    with jax.default_device(jax.devices("cpu")[0]):
+        ys = jnp.asarray(np.stack(seqs))
+        mask = jnp.asarray(np.stack(masks))
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_pad)
+        preds = np.asarray(kf_predict_batch(ys, mask, keys, n_predict=n_predict))[:n_real]
 
     primary_track = preds[0]
     neighbours_tracks = preds[1:]
