@@ -1,0 +1,92 @@
+"""Tests for the tooling layer: interactions, splitter, plot_log, get_dest."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from trajnetplusplusbaselines_tpu.data import interactions
+from trajnetplusplusbaselines_tpu.tools import create_validation, get_dest, plot_log
+
+from .helpers import make_synthetic_dataset
+
+
+def _scene(primary_xy, neighbour_xy):
+    xy = np.stack([primary_xy, neighbour_xy], axis=1)  # [T, 2, 2]
+    return xy
+
+
+def test_collision_avoidance_detects_headon():
+    t = np.arange(21, dtype=float)
+    primary = np.stack([np.zeros(21), t * 0.4], axis=-1)  # north
+    neigh = np.stack([np.zeros(21) + 0.1, 16.0 - t * 0.4], axis=-1)  # south, ahead
+    xy = _scene(primary, neigh)
+    assert interactions.collision_avoidance(xy).tolist() == [True]
+    assert interactions.leader_follower(xy).tolist() == [False]
+
+
+def test_leader_follower_detects_same_direction():
+    t = np.arange(21, dtype=float)
+    primary = np.stack([np.zeros(21), t * 0.4], axis=-1)
+    neigh = np.stack([np.zeros(21), t * 0.4 + 2.0], axis=-1)  # ahead, same way
+    xy = _scene(primary, neigh)
+    assert interactions.leader_follower(xy).tolist() == [True]
+    assert interactions.collision_avoidance(xy).tolist() == [False]
+
+
+def test_group_detects_side_by_side():
+    t = np.arange(21, dtype=float)
+    primary = np.stack([np.zeros(21), t * 0.4], axis=-1)
+    neigh = np.stack([np.zeros(21) + 0.5, t * 0.4], axis=-1)
+    xy = _scene(primary, neigh)
+    assert interactions.group(xy).tolist() == [True]
+
+
+def test_interaction_type_codes():
+    t = np.arange(21, dtype=float)
+    primary = np.stack([np.zeros(21), t * 0.4], axis=-1)
+    neigh = np.stack([np.zeros(21) + 0.1, 16.0 - t * 0.4], axis=-1)
+    assert 2 in interactions.interaction_type(_scene(primary, neigh))
+
+
+def test_create_validation_split(tmp_path):
+    root = make_synthetic_dataset(os.path.join(str(tmp_path), "src", "synthset"))
+    create_validation.main([
+        "--path", "synthset",
+        "--data_root", os.path.join(str(tmp_path), "src"),
+        "--output_root", os.path.join(str(tmp_path), "out"),
+        "--val_ratio", "0.25", "--test_ratio", "0.25", "--seed", "0",
+    ])
+    dest = os.path.join(str(tmp_path), "out", "synthset_split")
+    counts = {}
+    for subset in ("train", "val", "test", "test_private"):
+        path = os.path.join(dest, subset, "synth.ndjson")
+        assert os.path.exists(path)
+        with open(path) as f:
+            counts[subset] = sum(1 for line in f if '"scene"' in line)
+    assert counts["test"] == counts["test_private"]
+    assert counts["train"] + counts["val"] + counts["test"] == 4
+
+
+def test_get_dest_last_position(tmp_path):
+    root = make_synthetic_dataset(os.path.join(str(tmp_path), "synthset"))
+    src = os.path.join(root, "train", "synth.ndjson")
+    dest = get_dest.get_dest(src)
+    # ped 1's last row across the file: scene 3 frames end at 3200
+    with open(src) as f:
+        rows = [json.loads(l)["track"] for l in f if '"track"' in l]
+    ped1 = [r for r in rows if r["p"] == 1]
+    last = max(ped1, key=lambda r: r["f"])
+    assert dest[1] == [last["x"], last["y"]]
+
+
+def test_plot_log_reads_records(tmp_path):
+    log = os.path.join(str(tmp_path), "model.log")
+    with open(log, "w") as f:
+        f.write(json.dumps({"type": "train-epoch", "epoch": 1, "loss": 1.0, "time": 2.0}) + "\n")
+        f.write(json.dumps({"type": "val-epoch", "epoch": 1, "loss": 0.9, "time": 1.0}) + "\n")
+        f.write("not json\n")
+    records = plot_log.read_log(log)
+    assert len(records["train-epoch"]) == 1
+    assert records["val-epoch"][0]["loss"] == 0.9

@@ -46,3 +46,7 @@ __all__ = [
     "unpack_scene",
     "prepare_data",
 ]
+
+from . import interactions  # noqa: E402
+
+__all__.append("interactions")
