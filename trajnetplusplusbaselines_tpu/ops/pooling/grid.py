@@ -158,16 +158,14 @@ class GridBasedPooling:
         write_value = jnp.where(in_range[..., None], values, self.constant)
         write_valid = not_self  # every non-self neighbour writes (maybe constant@0)
 
-        # last-write-wins scatter via masked one-hot + batched contraction
-        onehot = (write_cell[..., None] == jnp.arange(g)) & write_valid[..., None]  # [S,A,A,G]
-        order = jnp.arange(1, a + 1)  # neighbour priority: higher j overwrites
-        last = jnp.max(onehot * order[None, None, :, None], axis=2)  # [S, A, G]
-        winner = onehot & (order[None, None, :, None] == last[:, :, None, :])
-        grid = jnp.einsum(
-            "sajg,sajd->sagd", winner.astype(values.dtype), write_value
-        )
-        occupied = (last > 0)[..., None]
-        grid = jnp.where(occupied, grid, self.constant)  # [S, A, G, D]
+        # last-write-wins scatter as an ascending-j select chain: purely
+        # elementwise, so XLA fuses the whole chain into one pass over the
+        # grid — nothing [S, A, A, G]-shaped ever materializes in HBM
+        cell_iota = jnp.arange(g, dtype=write_cell.dtype)
+        grid = jnp.full((s, a, g, d), self.constant, dtype=values.dtype)
+        for j in range(a):
+            hit = (write_cell[:, :, j, None] == cell_iota) & write_valid[:, :, j, None]
+            grid = jnp.where(hit[..., None], write_value[:, :, j, None, :], grid)
 
         # channel-major layout matching the reference's transpose+view
         grid2d = grid.reshape(s, a, nps, nps, d)
