@@ -62,10 +62,17 @@ class LSTM:
         self.pool_to_input = pool_to_input
         self.goal_flag = goal_flag
         self.goal_dim = goal_dim or embedding_dim
+        # compute dtype for the recurrence state; bfloat16 roughly doubles MXU
+        # throughput at a small accuracy cost (set via `with_dtype`)
+        self.compute_dtype = jnp.float32
 
         goal_rep = self.goal_dim if goal_flag else 0
         pooling_dim = pool.out_dim if (pool is not None and pool_to_input) else 0
         self.input_dim = embedding_dim + goal_rep + pooling_dim
+
+    def with_dtype(self, dtype):
+        self.compute_dtype = dtype
+        return self
 
     # ---------------------------------------------------------------- params
     def init_params(self, key) -> Dict:
@@ -83,8 +90,11 @@ class LSTM:
 
     def init_carry(self, num_scenes: int, num_agents: int) -> StepCarry:
         shape = (num_scenes, num_agents, self.hidden_dim)
+        dt = self.compute_dtype
         pool_state = self.pool.init_state(num_scenes, num_agents) if self.pool else None
-        return StepCarry(jnp.zeros(shape), jnp.zeros(shape), pool_state)
+        if pool_state is not None:
+            pool_state = jax.tree.map(lambda x: x.astype(dt), pool_state)
+        return StepCarry(jnp.zeros(shape, dt), jnp.zeros(shape, dt), pool_state)
 
     # ------------------------------------------------------------------ step
     def step(
