@@ -13,3 +13,13 @@ from . import data
 from . import metrics
 
 __all__ = ["data", "metrics", "__version__"]
+
+
+def __getattr__(name):
+    # heavier subpackages (jax-importing) load lazily
+    if name in ("models", "ops", "losses", "trainers", "evaluator", "parallel",
+                "utils", "tools"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)
