@@ -62,9 +62,10 @@ class LSTM:
         self.pool_to_input = pool_to_input
         self.goal_flag = goal_flag
         self.goal_dim = goal_dim or embedding_dim
-        # compute dtype for the recurrence state; bfloat16 roughly doubles MXU
-        # throughput at a small accuracy cost (set via `with_dtype`)
-        self.compute_dtype = jnp.float32
+        # compute dtype for the recurrence state; None follows the ambient
+        # default (f32, or f64 under jax_enable_x64); bfloat16 roughly doubles
+        # MXU throughput at a small accuracy cost (set via `with_dtype`)
+        self.compute_dtype = None
 
         goal_rep = self.goal_dim if goal_flag else 0
         pooling_dim = pool.out_dim if (pool is not None and pool_to_input) else 0
@@ -92,7 +93,7 @@ class LSTM:
         shape = (num_scenes, num_agents, self.hidden_dim)
         dt = self.compute_dtype
         pool_state = self.pool.init_state(num_scenes, num_agents) if self.pool else None
-        if pool_state is not None:
+        if pool_state is not None and dt is not None:
             pool_state = jax.tree.map(lambda x: x.astype(dt), pool_state)
         return StepCarry(jnp.zeros(shape, dt), jnp.zeros(shape, dt), pool_state)
 
@@ -237,6 +238,14 @@ class LSTM:
         Returns (rel_pred [T', S, A, 5], pred [T', S, A, 2], valid [T', S, A]).
         """
         assert (prediction_truth is None) != (n_predict is None)
+        # promote inputs to the compute dtype (or the ambient default
+        # float) so scan carries stay dtype-consistent when params and
+        # data dtypes differ (e.g. f64 params under x64 tests)
+        dt = self.compute_dtype or jnp.zeros(0).dtype
+        observed = jnp.asarray(observed, dt)
+        goals = jnp.asarray(goals, dt)
+        if prediction_truth is not None:
+            prediction_truth = jnp.asarray(prediction_truth, dt)
         s, a = observed.shape[1], observed.shape[2]
         carry = self.init_carry(s, a)
 

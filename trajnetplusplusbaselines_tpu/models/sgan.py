@@ -61,6 +61,14 @@ class LSTMGenerator(LSTM):
                 prediction_truth=None, prediction_truth_mask=None,
                 n_predict=None, key=None):
         assert (prediction_truth is None) != (n_predict is None)
+        # promote inputs to the compute dtype (or the ambient default
+        # float) so scan carries stay dtype-consistent when params and
+        # data dtypes differ (e.g. f64 params under x64 tests)
+        dt = self.compute_dtype or jnp.zeros(0).dtype
+        observed = jnp.asarray(observed, dt)
+        goals = jnp.asarray(goals, dt)
+        if prediction_truth is not None:
+            prediction_truth = jnp.asarray(prediction_truth, dt)
         s, a = observed.shape[1], observed.shape[2]
         carry = self.init_carry(s, a)
 

@@ -71,6 +71,14 @@ class VAE(LSTM):
                 key=None, training=None, num_modes=None):
         """Returns (rel_pred_list, pred_list, valid_list, z_distr_xy, z_distr_x)."""
         assert (prediction_truth is None) != (n_predict is None)
+        # promote inputs to the compute dtype (or the ambient default
+        # float) so scan carries stay dtype-consistent when params and
+        # data dtypes differ (e.g. f64 params under x64 tests)
+        dt = self.compute_dtype or jnp.zeros(0).dtype
+        observed = jnp.asarray(observed, dt)
+        goals = jnp.asarray(goals, dt)
+        if prediction_truth is not None:
+            prediction_truth = jnp.asarray(prediction_truth, dt)
         if training is None:
             training = prediction_truth is not None
         if key is None:
