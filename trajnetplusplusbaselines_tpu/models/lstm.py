@@ -91,7 +91,7 @@ class LSTM:
 
     def init_carry(self, num_scenes: int, num_agents: int) -> StepCarry:
         shape = (num_scenes, num_agents, self.hidden_dim)
-        dt = self.compute_dtype
+        dt = getattr(self, "compute_dtype", None)
         pool_state = self.pool.init_state(num_scenes, num_agents) if self.pool else None
         if pool_state is not None and dt is not None:
             pool_state = jax.tree.map(lambda x: x.astype(dt), pool_state)
@@ -241,7 +241,7 @@ class LSTM:
         # promote inputs to the compute dtype (or the ambient default
         # float) so scan carries stay dtype-consistent when params and
         # data dtypes differ (e.g. f64 params under x64 tests)
-        dt = self.compute_dtype or jnp.zeros(0).dtype
+        dt = getattr(self, "compute_dtype", None) or jnp.zeros(0).dtype  # getattr: older pickles lack the attr
         observed = jnp.asarray(observed, dt)
         goals = jnp.asarray(goals, dt)
         if prediction_truth is not None:

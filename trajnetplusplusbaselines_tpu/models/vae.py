@@ -74,7 +74,7 @@ class VAE(LSTM):
         # promote inputs to the compute dtype (or the ambient default
         # float) so scan carries stay dtype-consistent when params and
         # data dtypes differ (e.g. f64 params under x64 tests)
-        dt = self.compute_dtype or jnp.zeros(0).dtype
+        dt = getattr(self, "compute_dtype", None) or jnp.zeros(0).dtype  # getattr: older pickles lack the attr
         observed = jnp.asarray(observed, dt)
         goals = jnp.asarray(goals, dt)
         if prediction_truth is not None:
