@@ -75,4 +75,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the TPU tunnel occasionally drops a call; retry before giving up
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            import sys
+            import time as _t
+
+            print(f"bench attempt {attempt + 1} failed ({e}); retrying", file=sys.stderr)
+            _t.sleep(5)

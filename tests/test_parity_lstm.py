@@ -9,6 +9,11 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+import os
+
+if not os.path.isdir("/root/reference"):
+    pytest.skip("reference checkout not mounted", allow_module_level=True)
+
 import jax
 import jax.numpy as jnp
 
