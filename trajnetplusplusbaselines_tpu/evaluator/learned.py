@@ -42,12 +42,20 @@ class BatchedPredictor:
             modes = self.modes
 
             if isinstance(model, SGAN):
+                # vmap the generator over mode keys: one compiled program for
+                # any k (the 50-mode NLL evaluation would otherwise unroll 50
+                # scans into the graph)
                 def fn(xy, mask, goals, slot_mask, key):
-                    _, pred_list, valid_list, _, _ = model.forward(
-                        params, xy, mask, goals, slot_mask,
-                        n_predict=n_predict, key=key, k=modes,
-                    )
-                    return jnp.stack(pred_list), jnp.stack(valid_list)
+                    keys = jax.random.split(key, modes)
+
+                    def one(k):
+                        _, pred, valid = model.generator.forward(
+                            params["generator"], xy, mask, goals, slot_mask,
+                            n_predict=n_predict, key=k,
+                        )
+                        return pred, valid
+
+                    return jax.vmap(one)(keys)
             elif isinstance(model, VAE):
                 def fn(xy, mask, goals, slot_mask, key):
                     _, pred_list, valid_list, _, _ = model.forward(
