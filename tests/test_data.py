@@ -155,3 +155,17 @@ def test_add_noise_bounds():
     assert np.all(out[:, 0] == 0)  # primary untouched
     assert np.all(np.abs(out[:9, 1:]) <= 0.01)
     assert np.any(out[:9, 1:] != 0)
+
+
+def test_reader_scene_options(tmp_path):
+    root = make_synthetic_dataset(str(tmp_path))
+    reader = Reader(os.path.join(root, "train", "synth.ndjson"), scene_type="paths")
+    assert len(list(reader.scenes(limit=2))) == 2
+    assert [sid for sid, _ in reader.scenes(ids=[3, 1])] == [3, 1]
+    import random as _r
+
+    _r.seed(0)
+    assert len(list(reader.scenes(sample=0.5))) == 2
+    rows_reader = Reader(os.path.join(root, "train", "synth.ndjson"), scene_type="rows")
+    sid, rows = rows_reader.scene(0)
+    assert all(hasattr(r, "frame") for r in rows)

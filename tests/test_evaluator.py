@@ -86,3 +86,23 @@ def test_preprocess_test_drops_late_tracks():
     out = preprocess_test(scene, obs_len=9)
     assert len(out) == 1
     assert out[0][-1].frame == 8
+
+
+def test_col1_sentinel_when_neighbours_missing(dataset_tree, monkeypatch):
+    """A primary-only predictor must trip the Col-I -1 sentinel."""
+    args = make_args(dataset_tree)
+    os.makedirs(args.path, exist_ok=True)
+
+    def primary_only(paths, goal):
+        out = constant_velocity.predict(
+            paths, predict_all=False, n_predict=args.pred_length,
+            obs_length=args.obs_length,
+        )
+        return out
+
+    monkeypatch.chdir(dataset_tree)
+    get_predictions({"cvp_modes1": primary_only}, args)
+    args.output = ["/cvp.pkl"]
+    table = trajnet_evaluate(args)
+    overall = table.results["cvp_modes1"][32:40]
+    assert overall[3] == -1  # pred_col sentinel propagated to the table
