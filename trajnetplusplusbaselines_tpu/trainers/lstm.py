@@ -177,7 +177,7 @@ class Trainer:
         lr = self.get_lr(epoch)
         self.opt_state = set_lr(self.opt_state, lr)
 
-        start_length = 0
+        start_length = self.start_length
         epoch_loss = 0.0
         scene_i = 0
         last_loss, preprocess_time, total_time = 0.0, 0.0, 0.0

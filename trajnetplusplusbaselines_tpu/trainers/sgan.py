@@ -231,19 +231,25 @@ class Trainer:
             "time": round(time.time() - start_time, 1),
         })
 
+    def _get_val_step(self):
+        if not hasattr(self, "_val_step"):
+            @jax.jit
+            def val_step(params, xy, mask, goals, slot_mask, scene_mask, key):
+                rel_list, _, _, _, _ = self.model.forward(
+                    params, xy[self.start_length : self.obs_length],
+                    mask[self.start_length : self.obs_length],
+                    goals, slot_mask, n_predict=self.pred_length,
+                    pred_length=self.pred_length, key=key,
+                )
+                return self.variety_loss(rel_list, xy, scene_mask)
+
+            self._val_step = val_step
+        return self._val_step
+
     def val(self, scenes: SceneDataset, epoch: int):
         eval_start = time.time()
         test_loss = 0.0
-
-        @jax.jit
-        def val_step(params, xy, mask, goals, slot_mask, scene_mask, key):
-            rel_list, _, _, _, _ = self.model.forward(
-                params, xy[self.start_length : self.obs_length],
-                mask[self.start_length : self.obs_length],
-                goals, slot_mask, n_predict=self.pred_length,
-                pred_length=self.pred_length, key=key,
-            )
-            return self.variety_loss(rel_list, xy, scene_mask)
+        val_step = self._get_val_step()
 
         for packed in scenes.epoch_batches(self.batch_size, self.rng, shuffle=False):
             slot_mask = np.arange(packed.max_agents)[None] < packed.num_agents[:, None]

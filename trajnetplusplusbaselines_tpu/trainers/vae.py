@@ -65,9 +65,11 @@ class Trainer:
         self.key = jax.random.PRNGKey(seed)
         self._step_cache = {}
 
-    def _losses(self, params, xy, mask, goals, slot_mask, scene_mask, key, training):
-        observed = xy[self.start_length : self.obs_length]
-        observed_mask = mask[self.start_length : self.obs_length]
+    def _losses(self, params, xy, mask, goals, slot_mask, scene_mask, key, training,
+                start_length=None):
+        start_length = self.start_length if start_length is None else start_length
+        observed = xy[start_length : self.obs_length]
+        observed_mask = mask[start_length : self.obs_length]
         truth = xy[self.obs_length : self.seq_length - 1]
         truth_mask = mask[self.obs_length : self.seq_length - 1]
         rel_list, _, _, z_distr_xy, z_distr_x = self.model.forward(
@@ -97,9 +99,12 @@ class Trainer:
         return reconstr, kld
 
     def _make_train_step(self, shape_key):
+        start_length = shape_key[2]
+
         def loss_fn(params, xy, mask, goals, slot_mask, scene_mask, key):
             reconstr, kld = self._losses(
-                params, xy, mask, goals, slot_mask, scene_mask, key, True
+                params, xy, mask, goals, slot_mask, scene_mask, key, True,
+                start_length=start_length,
             )
             return reconstr + self.alpha_kld * kld, reconstr
 
@@ -137,15 +142,18 @@ class Trainer:
         epoch_loss = 0.0
         scene_i = 0
         last_loss = total_time = 0.0
+        start_length = self.start_length
         for packed in scenes.epoch_batches(
             self.batch_size, self.rng, self.augment, self.augment_noise
         ):
             scene_start = time.time()
+            if self.obs_dropout:
+                start_length = int(self.rng.integers(0, self.obs_length - 1))
             slot_mask = np.arange(packed.max_agents)[None] < packed.num_agents[:, None]
             scene_mask = packed.num_agents > 0
             self.key, sub = jax.random.split(self.key)
 
-            shape_key = (packed.num_scenes, packed.max_agents)
+            shape_key = (packed.num_scenes, packed.max_agents, start_length)
             if shape_key not in self._step_cache:
                 self._step_cache[shape_key] = self._make_train_step(shape_key)
             step = self._step_cache[shape_key]
@@ -177,16 +185,23 @@ class Trainer:
             "time": round(time.time() - start_time, 1),
         })
 
+    def _get_val_step(self):
+        if not hasattr(self, "_val_step"):
+            @jax.jit
+            def val_step(params, xy, mask, goals, slot_mask, scene_mask, key):
+                reconstr, kld = self._losses(
+                    params, xy, mask, goals, slot_mask, scene_mask, key, True,
+                    start_length=0 if self.obs_dropout else self.start_length,
+                )
+                return reconstr + self.alpha_kld * kld
+
+            self._val_step = val_step
+        return self._val_step
+
     def val(self, scenes: SceneDataset, epoch: int):
         eval_start = time.time()
         val_loss = 0.0
-
-        @jax.jit
-        def val_step(params, xy, mask, goals, slot_mask, scene_mask, key):
-            reconstr, kld = self._losses(
-                params, xy, mask, goals, slot_mask, scene_mask, key, True
-            )
-            return reconstr + self.alpha_kld * kld
+        val_step = self._get_val_step()
 
         for packed in scenes.epoch_batches(self.batch_size, self.rng, shuffle=False):
             slot_mask = np.arange(packed.max_agents)[None] < packed.num_agents[:, None]
