@@ -90,3 +90,16 @@ def test_plot_log_reads_records(tmp_path):
     records = plot_log.read_log(log)
     assert len(records["train-epoch"]) == 1
     assert records["val-epoch"][0]["loss"] == 0.9
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+
+    from trajnetplusplusbaselines_tpu.utils import checkpoint as ckpt
+
+    state = {"epoch": 3, "params": {"w": np.arange(6.0).reshape(2, 3)}}
+    d = os.path.join(str(tmp_path), "ckpt")
+    ckpt.save_orbax(state, d)
+    restored = ckpt.load_orbax(d)
+    assert int(restored["epoch"]) == 3
+    np.testing.assert_array_equal(restored["params"]["w"], state["params"]["w"])

@@ -58,6 +58,29 @@ def load_state(filename: str) -> Dict:
         return pickle.load(f)
 
 
+def save_orbax(state: Dict, directory: str) -> None:
+    """Orbax backend for training state (atomic, async-capable, sharded).
+
+    The pickle path above matches the reference's artifact layout; this is
+    the TPU-native alternative for large multi-host runs (SURVEY.md §5.4).
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.PyTreeCheckpointer()
+    checkpointer.save(os.path.abspath(directory), _to_host(state), force=True)
+
+
+def load_orbax(directory: str) -> Dict:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.PyTreeCheckpointer()
+    return checkpointer.restore(os.path.abspath(directory))
+
+
 def merge_params_nonstrict(init_params, loaded_params) -> Tuple[Any, list]:
     """Copy loaded leaves whose path and shape match; report the rest."""
     skipped = []
