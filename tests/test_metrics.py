@@ -100,3 +100,20 @@ def test_batch_pred_col_nan_neighbours():
     pred = np.zeros((2, 12, 2))
     pred[1] = np.nan
     assert mbatch.pred_col(pred) == 0.0
+
+
+def test_nll_prefers_gt_near_samples():
+    from trajnetplusplusbaselines_tpu.metrics import nll
+
+    rng = np.random.default_rng(0)
+    # 50 modes scattered around a straight path
+    modes = []
+    for m in range(50):
+        noise = rng.normal(scale=0.3, size=(12, 2))
+        modes += _path(np.arange(12) + noise[:, 0], noise[:, 1], prediction_number=m)
+    gt_near = _path(np.arange(12), [0.0] * 12)
+    gt_far = _path(np.arange(12), [25.0] * 12)
+    nll_near = nll(modes, gt_near)
+    nll_far = nll(modes, gt_far)
+    assert nll_near < nll_far
+    assert nll_far <= 20.0 + 1e-6  # clipped at the log-pdf lower bound
