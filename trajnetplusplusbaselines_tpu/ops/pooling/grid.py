@@ -181,12 +181,9 @@ class GridBasedPooling:
                 window_strides=(1, 1, 1, 1, 1),
                 padding=((0, 0), (0, 0), (0, 0), (pad, pad), (pad, pad)),
             )
-            grid2d = summed / float(self.blur_size ** 2)
             # torch avg_pool2d keeps spatial dims with this padding only when
             # blur is odd; even blurs grow the map by 1 like the reference
-            nps_b = grid2d.shape[-1]
-        else:
-            nps_b = nps
+            grid2d = summed / float(self.blur_size ** 2)
 
         if self.pool_size > 1:
             grid2d = jax.lax.reduce_window(

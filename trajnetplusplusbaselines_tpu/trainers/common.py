@@ -132,10 +132,3 @@ def set_lr(opt_state, lr: float):
     opt_state.hyperparams["learning_rate"] = lr
     return opt_state
 
-
-class EpochTimer:
-    def __init__(self):
-        self.start = time.time()
-
-    def elapsed(self) -> float:
-        return time.time() - self.start

@@ -28,7 +28,6 @@ from ..models.lstm import LSTM, LSTMPredictor
 from ..ops.pooling import make_pool
 from ..utils import checkpoint as ckpt
 from .common import (
-    EpochTimer,
     SceneDataset,
     log_process_record,
     make_optimizer,
