@@ -293,3 +293,74 @@ def test_neighbour_pools_parity(pool_type):
     ref_out = run_reference(ref_model, scenes, "test")
     ours = run_ours(model, params, scenes, "test")
     compare(*ref_out, *ours[:3], scenes)
+
+
+@pytest.mark.parametrize("pool_type", ["vanilla", "directional"])
+def test_training_gradient_parity(pool_type):
+    """Gradients of the primary-only Gaussian NLL through the full
+    teacher-forced rollout must match the reference's autograd exactly —
+    this pins the stop_gradient placement and masked-update semantics of
+    the training path, not just the forward values."""
+    from trajnetplusplusbaselines_tpu.losses import prediction_loss
+    from trajnetplusplusbaselines_tpu.ops.pooling import GridBasedPooling
+
+    ref = load_reference()
+    torch.manual_seed(0)
+    if pool_type == "vanilla":
+        ref_model = ref.lstm.lstm.LSTM(pool=None)
+        model = LSTM(pool=None)
+    else:
+        ref_pool = ref.lstm.gridbased_pooling.GridBasedPooling(
+            type_="directional", hidden_dim=128, cell_side=0.6, n=12, out_dim=256,
+            embedding_arch="one_layer",
+        )
+        ref_model = ref.lstm.lstm.LSTM(pool=ref_pool)
+        model = LSTM(pool=GridBasedPooling(
+            type_="directional", hidden_dim=128, cell_side=0.6, n=12, out_dim=256,
+            embedding_arch="one_layer",
+        ))
+    ref_model.train()
+
+    params = copy_lstm_weights(ref_model, model.init_params(jax.random.PRNGKey(0)))
+    if pool_type == "directional":
+        params["pool"] = copy_grid_pool_weights(ref_model.pool, params["pool"])
+
+    scenes = make_scenes()
+    xyc = np.concatenate(scenes, axis=1)
+    bs = torch.LongTensor(np.cumsum([0] + [s.shape[1] for s in scenes]))
+    xy_t = torch.DoubleTensor(xyc)
+    goals = torch.zeros(xyc.shape[1], 2)
+    crit = ref.lstm.loss.PredictionLoss()
+    rel, _ = ref_model(xy_t[:9], goals, bs, xy_t[9:20].clone())
+    targets = torch.DoubleTensor(xyc[9:21] - xyc[8:20])
+    loss_ref = crit(rel[-12:], targets, bs)
+    loss_ref.backward()
+    g_enc_ref = ref_model.encoder.weight_ih.grad.numpy().T
+    g_dec_ref = ref_model.decoder.weight_hh.grad.numpy().T
+
+    a = max(s.shape[1] for s in scenes)
+    xy = np.stack(
+        [np.pad(s, ((0, 0), (0, a - s.shape[1]), (0, 0)), constant_values=np.nan)
+         for s in scenes], axis=1,
+    )
+    vals, mask = nan_to_mask(xy)
+    slot = np.zeros((len(scenes), a), bool)
+    for i, s in enumerate(scenes):
+        slot[i, : s.shape[1]] = True
+
+    def loss_fn(p):
+        relj, _, _ = model.forward(
+            p, jnp.asarray(vals[:9]), jnp.asarray(mask[:9]),
+            jnp.zeros((len(scenes), a, 2)), jnp.asarray(slot),
+            prediction_truth=jnp.asarray(vals[9:20]),
+            prediction_truth_mask=jnp.asarray(mask[9:20]),
+        )
+        targets_j = jnp.asarray(vals[9:21, :, 0] - vals[8:20, :, 0])
+        return prediction_loss(relj[-12:, :, 0], targets_j)
+
+    params64 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64), params)
+    loss_j, grads = jax.value_and_grad(loss_fn)(params64)
+
+    np.testing.assert_allclose(float(loss_j), float(loss_ref.detach()), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(grads["encoder"]["w_ih"]), g_enc_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(grads["decoder"]["w_hh"]), g_dec_ref, atol=1e-12)
