@@ -158,3 +158,28 @@ def test_l2_loss_multiplier():
     inputs = jnp.zeros((1, 1, 5))
     targets = jnp.ones((1, 1, 2))
     assert float(l2_loss(inputs, targets)) == pytest.approx(100.0)
+
+
+def test_dir_social_grid_intent():
+    """dir_social concatenates [rel_velocity(2) ++ encoded_hidden(latent)] per
+    cell — the documented intent; the reference implementation crashes for
+    latent_dim != 2 (cat on the neighbour axis, gridbased_pooling.py:209), so
+    this is covered by an intent test instead of the oracle."""
+    import jax
+
+    pool = GridBasedPooling(type_="dir_social", n=2, cell_side=2.0, latent_dim=4,
+                            hidden_dim=8)
+    params = pool.init_params(jax.random.PRNGKey(0))
+    obs1 = jnp.asarray([[[0.0, 0.0], [-1.0, -1.0]]])
+    obs2 = jnp.asarray([[[0.1, 0.1], [-1.1, -1.1]]])
+    hidden = jnp.ones((1, 2, 8))
+    p = jnp.ones((1, 2), bool)
+    grid = np.asarray(pool.make_grid(hidden, obs1, obs2, p, p, params))[0]
+    assert grid.shape == (2, 6, 2, 2)  # D = 2 (rel vel) + 4 (latent)
+    # velocity channels carry the relative velocity
+    assert grid[0, 0, 0, 0] == pytest.approx(-0.2, abs=1e-6)
+    # hidden channels carry the encoded neighbour hidden state
+    from trajnetplusplusbaselines_tpu.ops.core import linear
+
+    expected = np.asarray(linear(params["hidden_dim_encoding"], jnp.ones(8)))
+    np.testing.assert_allclose(grid[0, 2:, 0, 0], expected, atol=1e-6)
