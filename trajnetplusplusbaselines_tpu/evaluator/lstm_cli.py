@@ -32,7 +32,14 @@ def main(argv=None):
                         help="device batch size for rollout")
     parser.add_argument("--data_root", default=None,
                         help="read-only source DATA_BLOCK to link test/test_private from")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the TPU tunnel can be slow/flaky)")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     dataset = args.path
     args.path = "DATA_BLOCK/" + args.path + "/test_pred/"
