@@ -36,7 +36,7 @@ def main():
         lambda x: x.astype(dtype), model.init_params(jax.random.PRNGKey(0))
     )
 
-    s, a, t = 65536, 8, 21
+    s, a, t = 131072, 8, 21
     rng = np.random.default_rng(0)
     xy = (rng.normal(size=(t, s, a, 2)).cumsum(axis=0) * 0.3).astype(dtype)
     mask = np.ones((t, s, a), bool)
