@@ -120,7 +120,16 @@ def kf_em_step(params: KFParams, ys, mask):
 
     mu0_new = xs[0]
     sigma0_new = _symmetrize(ps[0])
-    return KFParams(_symmetrize(q_new), _symmetrize(r_new), mu0_new, sigma0_new)
+    # floors keep the filter/smoother inversions well-conditioned even when a
+    # perfectly linear track drives the EM covariances toward zero (pykalman
+    # survives via pinv; explicit regularization is the jit-friendly form)
+    eye4, eye2 = jnp.eye(4), jnp.eye(2)
+    return KFParams(
+        _symmetrize(q_new) + 1e-6 * eye4,
+        _symmetrize(r_new) + 1e-6 * eye2,
+        mu0_new,
+        sigma0_new + 1e-6 * eye4,
+    )
 
 
 def kf_fit_and_predict(ys, mask, key, n_predict: int, n_iter: int = 10, n_samples: int = 5):
@@ -142,9 +151,15 @@ def kf_fit_and_predict(ys, mask, key, n_predict: int, n_iter: int = 10, n_sample
     last_idx = jnp.maximum(jnp.sum(mask.astype(jnp.int32)) - 1, 0)
     x_last = xs[last_idx]
 
-    # cholesky factors for sampling
-    q_chol = jnp.linalg.cholesky(params.q + 1e-12 * jnp.eye(4))
-    r_chol = jnp.linalg.cholesky(params.r + 1e-12 * jnp.eye(2))
+    # PSD factors for sampling: EM covariances of very short tracks can be
+    # numerically indefinite (off-diagonals dominating the floors), where a
+    # Cholesky would NaN; an eigh factor with clipped eigenvalues is robust
+    def psd_factor(m):
+        w, v = jnp.linalg.eigh(m)
+        return v * jnp.sqrt(jnp.clip(w, 0.0, None))[None, :]
+
+    q_chol = psd_factor(params.q)
+    r_chol = psd_factor(params.r)
 
     def sample_one(k):
         ks = jax.random.split(k, n_predict)
