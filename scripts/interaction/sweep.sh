@@ -6,7 +6,7 @@
 #   vanilla      : (no extra flags)
 #   directional  : (no extra flags)                        [D-LSTM]
 #   social       : --n 16 --embedding_arch two_layer --layer_dims 1024 [S-LSTM]
-#   attentionmlp : --spatial_dim 32 --vel_dim 32           [S-Attn]
+#   attentionmlp : --spatial_dim 32 --vel_dim 32 --lr 3e-4   [S-Attn; diverges at lr 1e-3]
 #   nn_lstm      : --neigh 4
 set -e
 interaction=${1:-vanilla}
