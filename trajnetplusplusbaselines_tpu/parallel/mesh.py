@@ -44,11 +44,16 @@ def param_sharding_rule(mesh: Mesh, path: Tuple, leaf) -> NamedSharding:
     axis; everything else replicates.  Falling back to replication whenever
     the axis does not divide keeps the rule total.
     """
+    del path  # classification is purely by shape; see docstring
     tp = mesh.shape["model"]
-    if tp > 1 and hasattr(leaf, "ndim") and leaf.ndim == 2 and leaf.shape[-1] % tp == 0:
-        name = str(path[-1]) if path else ""
-        if leaf.shape[-1] >= 4 * tp:
-            return NamedSharding(mesh, P(None, "model"))
+    if (
+        tp > 1
+        and hasattr(leaf, "ndim")
+        and leaf.ndim == 2
+        and leaf.shape[-1] % tp == 0
+        and leaf.shape[-1] >= 4 * tp
+    ):
+        return NamedSharding(mesh, P(None, "model"))
     return NamedSharding(mesh, P())
 
 
