@@ -100,6 +100,59 @@ def copy_lstm_weights(ref_model, params):
     return params
 
 
+def copy_sgan_weights(ref_sgan, params):
+    """Copy a reference SGAN's torch weights into a {generator, discriminator}
+    params pytree (reference modules at sgan/sgan.py:135-200, :405-446)."""
+    import torch
+
+    gen = copy_lstm_weights(ref_sgan.generator, params["generator"])
+    gen["mlp_decoder_context"] = [
+        torch_linear_to_jax(m)
+        for m in ref_sgan.generator.mlp_decoder_context
+        if isinstance(m, torch.nn.Linear)
+    ]
+
+    disc = dict(params["discriminator"])
+    rd = ref_sgan.discriminator
+    disc["input_embedding"] = {
+        "linear": torch_linear_to_jax(rd.input_embedding.input_embeddings[0])
+    }
+    disc["goal_embedding"] = {
+        "linear": torch_linear_to_jax(rd.goal_embedding.input_embeddings[0])
+    }
+    disc["encoder"] = torch_lstmcell_to_jax(rd.encoder)
+    disc["real_classifier"] = [
+        torch_linear_to_jax(m) for m in rd.real_classifier if isinstance(m, torch.nn.Linear)
+    ]
+    return {"generator": gen, "discriminator": disc}
+
+
+def copy_vae_weights(ref_vae, params):
+    """Copy a reference VAE's torch weights (vae/vae.py:26-107) into a params
+    pytree; the reference's obs_encoder maps to this framework's 'encoder'."""
+    params = dict(params)
+    params["input_embedding"] = {
+        "linear": torch_linear_to_jax(ref_vae.input_embedding.input_embeddings[0])
+    }
+    params["goal_embedding"] = {
+        "linear": torch_linear_to_jax(ref_vae.goal_embedding.input_embeddings[0])
+    }
+    params["encoder"] = torch_lstmcell_to_jax(ref_vae.obs_encoder)
+    params["pred_encoder"] = torch_lstmcell_to_jax(ref_vae.pred_encoder)
+    params["decoder"] = torch_lstmcell_to_jax(ref_vae.decoder)
+    params["hidden2normal"] = {"linear": torch_linear_to_jax(ref_vae.hidden2normal.linear)}
+    params["vae_encoder_xy"] = {
+        "fc_mu": torch_linear_to_jax(ref_vae.vae_encoder_xy.fc_mu),
+        "fc_var": torch_linear_to_jax(ref_vae.vae_encoder_xy.fc_var),
+    }
+    params["vae_encoder_x"] = {
+        "fc_mu": torch_linear_to_jax(ref_vae.vae_encoder_x.fc_mu),
+        "fc_var": torch_linear_to_jax(ref_vae.vae_encoder_x.fc_var),
+    }
+    params["vae_decoder"] = torch_linear_to_jax(ref_vae.vae_decoder.fc)
+    return params
+
+
 def copy_grid_pool_weights(ref_pool, pool_params):
     pool_params = dict(pool_params)
     if hasattr(ref_pool, "hidden_dim_encoding"):

@@ -141,6 +141,18 @@ def test_agent_bucket():
     assert agent_bucket(200) == 128
 
 
+def test_pack_scenes_never_silently_truncates():
+    # default bucketing grows past the largest bucket to fit every agent
+    big = np.ones((21, 150, 2))
+    packed = pack_scenes([big])
+    assert packed.max_agents == 150
+    assert packed.num_agents.tolist() == [150]
+    # an explicit bucket truncates, but loudly
+    with pytest.warns(UserWarning, match="truncating"):
+        packed = pack_scenes([big], bucket=128)
+    assert packed.num_agents.tolist() == [128]
+
+
 def test_batch_iterator_pads_final_batch():
     scenes = [np.ones((21, 2, 2)) for _ in range(5)]
     batches = list(batch_iterator(scenes, None, batch_size=2))

@@ -88,6 +88,41 @@ def test_preprocess_test_drops_late_tracks():
     assert out[0][-1].frame == 8
 
 
+def test_collision_test_gate_with_multimode_predictions(tmp_path):
+    """Multimodal prediction files (interleaved prediction_number rows) must
+    not crash the collision_test gate; mode 0 alone is judged."""
+    from trajnetplusplusbaselines_tpu.data import SceneRow, TrackRow, writers
+    from trajnetplusplusbaselines_tpu.evaluator.trajnet_evaluator import collision_test
+
+    pred_dir = os.path.join(str(tmp_path), "test_pred", "m_modes2")
+    os.makedirs(pred_dir)
+    rows = [SceneRow(0, 1, 0, 20, 2.5, 0)]
+    for mode in range(2):
+        # two parallel straight tracks 2 m apart: never collide
+        rows += [TrackRow(9 + t, 1, 0.1 * t, 0.0, mode, 0) for t in range(12)]
+        if mode == 0:
+            rows += [TrackRow(9 + t, 2, 0.1 * t, 2.0, mode, 0) for t in range(12)]
+    with open(os.path.join(pred_dir, "collision_test.ndjson"), "w") as f:
+        for r in rows:
+            f.write(writers.trajnet(r) + "\n")
+
+    args = types.SimpleNamespace(path=str(tmp_path) + "/test_pred/", pred_length=12)
+    assert collision_test(["collision_test.ndjson"], "m_modes2", args) == "Pass"
+
+    # mode 0 colliding, mode 1 clean -> judged on mode 0 -> Fail
+    pred_dir2 = os.path.join(str(tmp_path), "test_pred", "m2_modes2")
+    os.makedirs(pred_dir2)
+    rows = [SceneRow(0, 1, 0, 20, 2.5, 0)]
+    for mode in range(2):
+        rows += [TrackRow(9 + t, 1, 0.1 * t, 0.0, mode, 0) for t in range(12)]
+        if mode == 0:
+            rows += [TrackRow(9 + t, 2, 0.1 * t, 0.05, mode, 0) for t in range(12)]
+    with open(os.path.join(pred_dir2, "collision_test.ndjson"), "w") as f:
+        for r in rows:
+            f.write(writers.trajnet(r) + "\n")
+    assert collision_test(["collision_test.ndjson"], "m2_modes2", args) == "Fail"
+
+
 def test_col1_sentinel_when_neighbours_missing(dataset_tree, monkeypatch):
     """A primary-only predictor must trip the Col-I -1 sentinel."""
     args = make_args(dataset_tree)

@@ -11,6 +11,7 @@ disappears; the scene axis is vmapped/sharded and the agent axis is padded to
 a small set of buckets so XLA compiles a handful of static shapes.
 """
 
+import warnings
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -73,9 +74,13 @@ def pack_scenes(
 ) -> PackedScenes:
     """Pack a list of NaN-padded ``[T, A_i, 2]`` scenes into one dense batch.
 
-    Agents beyond ``bucket`` are truncated (drop_distant keeps real counts
-    small); scenes beyond ``pad_scenes_to`` raise.  Padding scenes are fully
-    masked so they contribute nothing to losses or metrics.
+    With ``bucket=None`` the agent axis grows to fit the largest scene (a
+    dynamic bucket beyond ``buckets[-1]`` when needed) so no agent is ever
+    silently dropped; an explicit ``bucket`` truncates with a warning
+    (truncation loses neighbour predictions, which flips the evaluator's
+    Col-I sentinel to -1 for the whole run).  Scenes beyond ``pad_scenes_to``
+    raise.  Padding scenes are fully masked so they contribute nothing to
+    losses or metrics.
     """
     if not scenes_xy:
         raise ValueError("pack_scenes needs at least one scene")
@@ -88,7 +93,16 @@ def pack_scenes(
             )
 
     max_real = max(s.shape[1] for s in scenes_xy)
-    a = bucket if bucket is not None else agent_bucket(max_real, buckets)
+    if bucket is not None:
+        a = bucket
+        if max_real > a:
+            warnings.warn(
+                f"pack_scenes: truncating scenes with up to {max_real} agents "
+                f"to bucket {a}; neighbour predictions will be lost",
+                stacklevel=2,
+            )
+    else:
+        a = max(agent_bucket(max_real, buckets), max_real)
     n_scenes = len(scenes_xy)
     s_pad = pad_scenes_to if pad_scenes_to is not None else n_scenes
     if s_pad < n_scenes:

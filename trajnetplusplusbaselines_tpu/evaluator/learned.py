@@ -94,10 +94,13 @@ class BatchedPredictor:
                 )
             prepared.append((xy[:obs_length], goal, rotation, center, xy.shape[1]))
 
-        # group by agent bucket
+        # group by agent bucket; scenes larger than the largest default
+        # bucket get a dynamic bucket of their real agent count so every
+        # neighbour is predicted (Col-I needs all neighbour rollouts)
         by_bucket = defaultdict(list)
         for i, (xy, *_rest) in enumerate(prepared):
-            by_bucket[batching.agent_bucket(xy.shape[1])].append(i)
+            n = xy.shape[1]
+            by_bucket[max(batching.agent_bucket(n), n)].append(i)
 
         results = [None] * len(prepared)
         for bucket, indices in sorted(by_bucket.items()):

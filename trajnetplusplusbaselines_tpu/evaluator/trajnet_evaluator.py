@@ -193,7 +193,14 @@ def collision_test(list_sub, name, args):
     if len(submit_datasets):
         reader = Reader(submit_datasets[0], scene_type="paths")
         scenes = [s for _, s in reader.scenes()]
-        if tmetrics.collision(scenes[0][0], scenes[0][1], n_predictions=args.pred_length):
+        # collision is judged on the single-mode (prediction_number 0)
+        # tracks, consistent with the evaluator's SINGLE block
+        # (/root/reference/evaluator/trajnet_evaluator.py:77-78); the
+        # reference's own collision_test passes raw multimode paths and
+        # crashes inside metrics.collision for modes > 1.
+        primary = [t for t in scenes[0][0] if (t.prediction_number or 0) == 0]
+        neigh = [t for t in scenes[0][1] if (t.prediction_number or 0) == 0]
+        if tmetrics.collision(primary, neigh, n_predictions=args.pred_length):
             return "Fail"
         return "Pass"
     return "NA"

@@ -170,6 +170,12 @@ class SGAN:
                 step_type="g", pred_length=12, key=None, k=None):
         """k rollouts (+ discriminator scores when truth is available).
 
+        prediction_truth(+mask) carries the FULL [pred_length, S, A, ...]
+        future.  The generator chain drops the last frame (the reference
+        trims via ``prediction_truth[:-1]`` before chaining, sgan.py:368-370,
+        so the decoder runs pred_length - 1 steps and the encoder contributes
+        the first predicted frame); the discriminator scores the full truth.
+
         Returns (rel_pred_list, pred_list, valid_list, scores_real, scores_fake).
         """
         if key is None:
@@ -177,12 +183,17 @@ class SGAN:
         k = k if k is not None else self.k
         n_rollouts = 1 if step_type == "d" else k
 
+        gen_truth = prediction_truth[:-1] if prediction_truth is not None else None
+        gen_truth_mask = (
+            prediction_truth_mask[:-1] if prediction_truth_mask is not None else None
+        )
+
         rel_list, pred_list, valid_list = [], [], []
         for i in range(n_rollouts):
             key, sub = jax.random.split(key)
             rel, pred, valid = self.generator.forward(
                 params["generator"], observed, observed_mask, goals, slot_mask,
-                prediction_truth, prediction_truth_mask, n_predict, key=sub,
+                gen_truth, gen_truth_mask, n_predict, key=sub,
             )
             rel_list.append(rel)
             pred_list.append(pred)
