@@ -72,3 +72,65 @@ def test_tensor_parallel_sharding_rule():
     assert spec == jax.sharding.PartitionSpec(None, "model")
     # values unchanged
     np.testing.assert_array_equal(np.asarray(w_ih), np.asarray(params["encoder"]["w_ih"]))
+
+
+def _tiny_batch(s=16, a=4, t=21, seed=0):
+    rng = np.random.default_rng(seed)
+    xy = rng.normal(size=(t, s, a, 2)).cumsum(axis=0)
+    mask = np.ones((t, s, a), bool)
+    goals = np.zeros((s, a, 2))
+    slot = np.ones((s, a), bool)
+    scene = np.ones(s, bool)
+    return xy, mask, goals, slot, scene
+
+
+@pytest.mark.parametrize("tp", [1, 2])
+def test_sharded_train_step_matches_single_device(tp):
+    """Three DP(+TP) optimizer steps must reproduce the single-device params.
+
+    The round-1 TP test only checked sharding placement; this drives the full
+    loss -> grad(psum) -> adam-update program on the (8//tp, tp) mesh and
+    compares the resulting parameters against an unsharded run (float64 CPU,
+    so any collective-reduction divergence would show).
+    """
+    from trajnetplusplusbaselines_tpu.models.lstm import LSTM
+    from trajnetplusplusbaselines_tpu.parallel import make_mesh, make_sharded_train_step
+    from trajnetplusplusbaselines_tpu.trainers.common import make_optimizer
+
+    model = LSTM(pool=None)
+    params0 = model.init_params(jax.random.PRNGKey(0))
+    optimizer = make_optimizer()
+
+    mesh = make_mesh(8, tp=tp)
+    step, place_batch, place_params = make_sharded_train_step(model, optimizer, mesh)
+
+    batches = [_tiny_batch(seed=k) for k in range(3)]
+
+    # single-device reference: same step function, no mesh placement
+    ref_params = jax.tree.map(jnp.asarray, params0)
+    ref_opt = optimizer.init(ref_params)
+    ref_losses = []
+    for b in batches:
+        ref_params, ref_opt, loss = step(
+            ref_params, ref_opt, *[jnp.asarray(x) for x in b]
+        )
+        ref_losses.append(float(loss))
+
+    with mesh:
+        params = place_params(params0)
+        opt_state = optimizer.init(params)
+        losses = []
+        for b in batches:
+            params, opt_state, loss = step(params, opt_state, *place_batch(*b))
+            losses.append(float(loss))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-9)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-9
+        ),
+        params,
+        ref_params,
+    )
+    if tp > 1:
+        assert params["encoder"]["w_ih"].sharding.spec == jax.sharding.PartitionSpec(None, "model")
