@@ -10,16 +10,196 @@ handful of executables.
 
 import json
 import logging
+import os
 import socket
 import sys
 import time
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import numpy as np
 import optax
 
 from ..data import augmentation, batching
 from ..data.reader import Reader
+
+
+def enable_compilation_cache(directory: str = ".jax_cache") -> None:
+    """Persistent XLA compilation cache (shared across seed-sweep runs).
+
+    The published protocol trains 5 seeds per configuration with identical
+    shapes; caching the compiled executables on disk makes every run after
+    the first skip TPU compilation entirely.
+    """
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(directory))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        logging.getLogger(__name__).warning("persistent compilation cache unavailable")
+
+
+# Device-side epoch scan: batches with identical static shapes are stacked and
+# processed by ONE jitted lax.scan dispatch instead of one dispatch per batch.
+# Through the remote-TPU tunnel a single dispatch costs ~20-40 ms of latency;
+# an epoch is ~1300 batches, so per-batch dispatch dominates wall-clock by
+# ~50x over the actual compute.  Chunking the per-group batch count into a
+# fixed ladder keeps the number of distinct compiled executables small.
+CHUNK_SIZES = (256, 32, 4, 1)
+
+
+def chunk_sizes_for(n: int, sizes: Sequence[int] = CHUNK_SIZES) -> List[int]:
+    """Greedy fixed-size decomposition of n (e.g. 300 -> [256, 32, 4, 4, 4])."""
+    out: List[int] = []
+    for s in sizes:
+        while n >= s:
+            out.append(s)
+            n -= s
+    return out
+
+
+def group_batches(items, key_fn):
+    """Group a list of per-batch items by their static-shape key."""
+    groups = {}
+    for item in items:
+        groups.setdefault(key_fn(item), []).append(item)
+    return groups
+
+
+class ResidentDataset:
+    """Scenes resident in device HBM, one dense array set per (T, A-bucket).
+
+    The remote-TPU tunnel moves ~5 MB/s, so re-uploading every augmented batch
+    (~30 MB/epoch) dominated training wall-clock.  Here the raw scenes upload
+    ONCE; per epoch the host sends only a shuffled batch-index plan (KBs) and
+    a PRNG key, and rotation/noise augmentation, scene gathering and every
+    optimizer step run inside one jitted lax.scan dispatch per bucket
+    (``make_bucket_epoch_runner``).  This is the TPU-native replacement for
+    the reference's per-scene host pipeline
+    (/root/reference/trajnetbaselines/lstm/trainer.py:96-133).
+
+    Note: batches are formed within a bucket (scenes of similar agent count
+    train together) rather than across the whole shuffled stream; scene order
+    within a bucket and bucket visit order reshuffle every epoch.
+    """
+
+    def __init__(self, dataset: "SceneDataset",
+                 buckets: Sequence[int] = batching.DEFAULT_AGENT_BUCKETS):
+        import jax.numpy as jnp
+
+        by_key = {}
+        for i, xy in enumerate(dataset.xys):
+            t, n = xy.shape[0], xy.shape[1]
+            a = max(batching.agent_bucket(n, buckets), n)
+            by_key.setdefault((t, a), []).append(i)
+
+        self.buckets = {}
+        for (t, a), ids in sorted(by_key.items()):
+            n_scenes = len(ids)
+            xs = np.zeros((n_scenes, t, a, 2), dtype=np.float32)
+            mask = np.zeros((n_scenes, t, a), dtype=bool)
+            goals = np.zeros((n_scenes, a, 2), dtype=np.float32)
+            num_agents = np.zeros((n_scenes,), dtype=np.int32)
+            for j, i in enumerate(ids):
+                xy, goal = dataset.xys[i], dataset.goals[i]
+                n = xy.shape[1]
+                vals, m = batching.nan_to_mask(xy)
+                xs[j, :, :n] = vals
+                mask[j, :, :n] = m
+                goals[j, :n] = goal
+                num_agents[j] = n
+            self.buckets[(t, a)] = {
+                "xs": jnp.asarray(xs),
+                "mask": jnp.asarray(mask),
+                "goals": jnp.asarray(goals),
+                "num_agents": jnp.asarray(num_agents),
+            }
+
+    def epoch_plan(self, batch_size: int, rng: np.random.Generator,
+                   shuffle: bool = True):
+        """Per bucket: (idx [nb, S] int32, valid [nb, S] bool); nb is constant
+        across epochs so each bucket reuses one compiled executable."""
+        plan = {}
+        for key, data in self.buckets.items():
+            n = int(data["num_agents"].shape[0])
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            nb = -(-n // batch_size)
+            idx = np.zeros((nb * batch_size,), dtype=np.int32)
+            idx[:n] = order
+            valid = np.arange(nb * batch_size) < n
+            plan[key] = (idx.reshape(nb, batch_size), valid.reshape(nb, batch_size))
+        return plan
+
+
+def make_bucket_epoch_runner(step_core, augment: bool = False,
+                             augment_noise: bool = False,
+                             noise_thresh: float = 0.02, obs_length: int = 9):
+    """One jitted dispatch running a whole epoch over one resident bucket.
+
+    ``step_core(carry, xy [T,S,A,2], mask [T,S,A], goals [S,A,2],
+    slot_mask [S,A], scene_mask [S], key) -> (carry, out)`` is scanned over
+    the batch plan; augmentation (uniform scene rotation, neighbour noise on
+    observed frames — mirrors data/augmentation.py random_rotation/add_noise)
+    happens on device from the passed PRNG key.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    def rotate(xy, theta):
+        # xy [..., 2] @ [[ct, st], [-st, ct]] per scene (augmentation.theta_rotation)
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        x, y = xy[..., 0], xy[..., 1]
+        return jnp.stack([x * ct - y * st, x * st + y * ct], axis=-1)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(carry, xs, mask, goals, num_agents, idx, valid, key, *extras):
+        if augment:
+            key, k = jax.random.split(key)
+            theta = jax.random.uniform(
+                k, (xs.shape[0],), xs.dtype, 0.0, 2.0 * np.pi
+            )
+            xs = rotate(xs, theta[:, None, None])
+            goals = rotate(goals, theta[:, None])
+        if augment_noise:
+            key, k = jax.random.split(key)
+            noise = jax.random.uniform(
+                k, xs[:, :obs_length, 1:].shape, xs.dtype, -noise_thresh, noise_thresh
+            )
+            xs = xs.at[:, :obs_length, 1:].add(noise)
+        slot_all = jnp.arange(xs.shape[2])[None] < num_agents[:, None]  # [N, A]
+
+        def body(carry_key, batch):
+            carry, key = carry_key
+            i, v = batch[0], batch[1]  # [S] int32, [S] bool
+            xy = jnp.transpose(xs[i], (1, 0, 2, 3))  # [T, S, A, 2]
+            m = jnp.transpose(mask[i], (1, 0, 2)) & v[None, :, None]
+            slot = slot_all[i] & v[:, None]
+            scene = (num_agents[i] > 0) & v
+            key, sub = jax.random.split(key)
+            carry, out = step_core(carry, xy, m, goals[i], slot, scene, sub, *batch[2:])
+            return (carry, key), out
+
+        (carry, _), outs = jax.lax.scan(body, (carry, key), (idx, valid) + extras)
+        return carry, outs
+
+    return run
+
+
+def stack_packed(chunk: List[batching.PackedScenes]):
+    """Stack PackedScenes batches into [B, ...] arrays + derived masks.
+
+    Returns (xy [B,T,S,A,2], mask [B,T,S,A], goals [B,S,A,2],
+    slot_mask [B,S,A], scene_mask [B,S]).
+    """
+    xy = np.stack([p.xy for p in chunk])
+    mask = np.stack([p.mask for p in chunk])
+    goals = np.stack([p.goals for p in chunk])
+    num_agents = np.stack([p.num_agents for p in chunk])  # [B, S]
+    slot_mask = np.arange(xy.shape[3])[None, None] < num_agents[..., None]
+    scene_mask = num_agents > 0
+    return xy, mask, goals, slot_mask, scene_mask
 
 
 class JsonFormatter(logging.Formatter):

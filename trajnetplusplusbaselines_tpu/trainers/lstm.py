@@ -28,11 +28,17 @@ from ..models.lstm import LSTM, LSTMPredictor
 from ..ops.pooling import make_pool
 from ..utils import checkpoint as ckpt
 from .common import (
+    ResidentDataset,
     SceneDataset,
+    chunk_sizes_for,
+    enable_compilation_cache,
+    group_batches,
     log_process_record,
+    make_bucket_epoch_runner,
     make_optimizer,
     set_lr,
     setup_logging,
+    stack_packed,
     step_lr,
 )
 
@@ -66,8 +72,11 @@ class Trainer:
         self.col_distance = col_distance
 
         self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed + 1)
         self._train_step_cache = {}
         self._val_step_cache = {}
+        self._resident = {}
+        self._runner_cache = {}
 
     # ------------------------------------------------------------- jit steps
     def _loss_from_outputs(self, rel, pred, valid, xy, mask, scene_mask):
@@ -105,46 +114,147 @@ class Trainer:
             prediction_truth=truth, prediction_truth_mask=truth_mask,
         )
 
-    def _make_train_step(self, start_length):
+    def _make_train_runner(self, start_length):
+        """One jitted lax.scan over a [B, ...] stack of same-shape batches.
+
+        The whole chunk of batches runs as ONE device dispatch (sequential
+        SGD semantics preserved by the scan carry); through the remote-TPU
+        tunnel this removes the ~30 ms/batch dispatch+sync latency that
+        dominated per-batch stepping.
+        """
+
         def loss_fn(params, xy, mask, goals, slot_mask, scene_mask):
             rel, pred, valid = self._forward_train(
                 params, xy, mask, goals, slot_mask, start_length
             )
             return self._loss_from_outputs(rel, pred, valid, xy, mask, scene_mask)
 
+        def train_step(carry, batch):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return (params, opt_state), loss
+
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, xy, mask, goals, slot_mask, scene_mask):
+        def run_chunk(params, opt_state, xy, mask, goals, slot_mask, scene_mask):
+            (params, opt_state), losses = jax.lax.scan(
+                train_step, (params, opt_state),
+                (xy, mask, goals, slot_mask, scene_mask),
+            )
+            return params, opt_state, losses
+
+        return run_chunk
+
+    # -------------------------------------------------- resident fast path
+    def _get_resident(self, scenes):
+        if id(scenes) not in self._resident:
+            self._resident[id(scenes)] = ResidentDataset(scenes)
+        return self._resident[id(scenes)]
+
+    def _train_step_core(self):
+        def loss_fn(params, xy, mask, goals, slot_mask, scene_mask):
+            rel, pred, valid = self._forward_train(
+                params, xy, mask, goals, slot_mask, self.start_length
+            )
+            return self._loss_from_outputs(rel, pred, valid, xy, mask, scene_mask)
+
+        def step_core(carry, xy, mask, goals, slot, scene, key):
+            del key  # deterministic model; augmentation happens in the runner
+            params, opt_state = carry
             loss, grads = jax.value_and_grad(loss_fn)(
-                params, xy, mask, goals, slot_mask, scene_mask
+                params, xy, mask, goals, slot, scene
             )
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p + u, params, updates)
-            return params, opt_state, loss
+            return (params, opt_state), loss
 
-        return train_step
+        return step_core
 
-    def _make_val_step(self, start_length):
-        def val_step(params, xy, mask, goals, slot_mask, scene_mask):
+    def _val_step_core(self):
+        start_length = 0 if self.obs_dropout else self.start_length
+
+        def step_core(params, xy, mask, goals, slot, scene, key):
+            del key
             rel, pred, valid = self._forward_train(
-                params, xy, mask, goals, slot_mask, start_length
+                params, xy, mask, goals, slot, start_length
             )
-            loss = self._loss_from_outputs(rel, pred, valid, xy, mask, scene_mask)
+            loss = self._loss_from_outputs(rel, pred, valid, xy, mask, scene)
             rel_t, pred_t, valid_t = self.model.forward(
                 params,
                 xy[start_length : self.obs_length],
                 mask[start_length : self.obs_length],
-                goals, slot_mask, n_predict=self.pred_length,
+                goals, slot, n_predict=self.pred_length,
             )
-            loss_test = self._loss_from_outputs(rel_t, pred_t, valid_t, xy, mask, scene_mask)
-            return loss, loss_test
+            loss_test = self._loss_from_outputs(rel_t, pred_t, valid_t, xy, mask, scene)
+            return params, (loss, loss_test)
 
-        return jax.jit(val_step)
+        return step_core
 
-    def _get_step(self, cache, maker, packed, start_length):
-        key = (packed.num_scenes, packed.max_agents, start_length)
+    def _resident_epoch(self, scenes, mode, carry, augment=False,
+                        augment_noise=False, shuffle=True):
+        """Run one epoch over the resident buckets; returns (carry, outs list)."""
+        resident = self._get_resident(scenes)
+        plan = resident.epoch_plan(self.batch_size, self.rng, shuffle=shuffle)
+        outs = []
+        for bkey, (idx, valid) in plan.items():
+            rkey = (mode, bkey, idx.shape[0])
+            if rkey not in self._runner_cache:
+                core = self._train_step_core() if mode == "train" else self._val_step_core()
+                self._runner_cache[rkey] = make_bucket_epoch_runner(
+                    core, augment=augment, augment_noise=augment_noise,
+                    obs_length=self.obs_length,
+                )
+            data = resident.buckets[bkey]
+            self.key, sub = jax.random.split(self.key)
+            carry, out = self._runner_cache[rkey](
+                carry, data["xs"], data["mask"], data["goals"],
+                data["num_agents"], jnp.asarray(idx), jnp.asarray(valid), sub,
+            )
+            outs.append(out)
+        return carry, outs
+
+    def _get_runner(self, cache, maker, n_chunk, packed, start_length):
+        key = (n_chunk, packed.num_scenes, packed.max_agents, start_length)
         if key not in cache:
             cache[key] = maker(start_length)
         return cache[key]
+
+    def _scan_epoch(self, scenes, cache, maker, run, shuffle=True,
+                    augment=False, augment_noise=False, draw_start_length=False,
+                    start_length=None):
+        """Group -> stack -> chunk -> scan an epoch; returns losses per chunk.
+
+        ``run(runner, stacked_arrays)`` performs the dispatch and returns a
+        device array of per-batch losses for the chunk.
+        """
+        if start_length is None:
+            start_length = self.start_length
+        items = []
+        for packed in scenes.epoch_batches(
+            self.batch_size, self.rng, augment, augment_noise, shuffle=shuffle
+        ):
+            sl = (
+                int(self.rng.integers(0, self.obs_length - 1))
+                if draw_start_length
+                else start_length
+            )
+            items.append((packed, sl))
+
+        groups = group_batches(
+            items, lambda it: (it[0].num_scenes, it[0].max_agents, it[1])
+        )
+        loss_parts = []
+        for (_, _, sl), group in groups.items():
+            pos = 0
+            batches = [it[0] for it in group]
+            for n_chunk in chunk_sizes_for(len(batches)):
+                chunk = batches[pos : pos + n_chunk]
+                pos += n_chunk
+                arrays = stack_packed(chunk)
+                runner = self._get_runner(cache, maker, n_chunk, chunk[0], sl)
+                loss_parts.append(run(runner, arrays))
+        return loss_parts
 
     # ----------------------------------------------------------------- loops
     def loop(self, train_scenes: SceneDataset, val_scenes, out: str, epochs=25,
@@ -176,46 +286,41 @@ class Trainer:
         lr = self.get_lr(epoch)
         self.opt_state = set_lr(self.opt_state, lr)
 
-        start_length = self.start_length
-        epoch_loss = 0.0
-        scene_i = 0
-        last_loss, preprocess_time, total_time = 0.0, 0.0, 0.0
-        for packed in scenes.epoch_batches(
-            self.batch_size, self.rng, self.augment, self.augment_noise
-        ):
-            scene_start = time.time()
-            if self.obs_dropout:
-                start_length = int(self.rng.integers(0, self.obs_length - 1))
-
-            slot_mask = np.arange(packed.max_agents)[None] < packed.num_agents[:, None]
-            scene_mask = packed.num_agents > 0
-            preprocess_time = time.time() - scene_start
-
-            step = self._get_step(self._train_step_cache, self._make_train_step,
-                                  packed, start_length)
-            self.params, self.opt_state, loss = step(
-                self.params,
-                self.opt_state,
-                jnp.asarray(packed.xy),
-                jnp.asarray(packed.mask),
-                jnp.asarray(packed.goals),
-                jnp.asarray(slot_mask),
-                jnp.asarray(scene_mask),
+        if not self.obs_dropout:
+            # resident fast path: whole epoch in one dispatch per bucket
+            (self.params, self.opt_state), loss_parts = self._resident_epoch(
+                scenes, "train", (self.params, self.opt_state),
+                augment=self.augment, augment_noise=self.augment_noise,
             )
-            last_loss = float(loss)
-            epoch_loss += last_loss
-            total_time = time.time() - scene_start
-            scene_i += packed.num_scenes
+        else:
+            # per-batch start_length changes static shapes: chunked-upload path
+            def run(runner, arrays):
+                self.params, self.opt_state, losses = runner(
+                    self.params, self.opt_state, *(jnp.asarray(a) for a in arrays)
+                )
+                return losses
 
-            if scene_i % (10 * self.batch_size) == 0:
-                self.log.info({
-                    "type": "train",
-                    "epoch": epoch, "batch": scene_i, "n_batches": len(scenes),
-                    "time": round(total_time, 3),
-                    "data_time": round(preprocess_time, 3),
-                    "lr": lr,
-                    "loss": round(last_loss, 3),
-                })
+            loss_parts = self._scan_epoch(
+                scenes, self._train_step_cache, self._make_train_runner, run,
+                shuffle=True, augment=self.augment, augment_noise=self.augment_noise,
+                draw_start_length=True,
+            )
+        losses = np.concatenate([np.asarray(p) for p in loss_parts])  # sync point
+        epoch_loss = float(losses.sum())
+        n_batches = len(losses)
+        elapsed = time.time() - start_time
+        per_batch = elapsed / max(n_batches, 1)
+
+        # periodic train records reconstructed from the device loss trace
+        for b in range(10, n_batches + 1, 10):
+            self.log.info({
+                "type": "train",
+                "epoch": epoch, "batch": b * self.batch_size,
+                "n_batches": len(scenes),
+                "time": round(per_batch, 4),
+                "lr": lr,
+                "loss": round(float(losses[b - 1]), 3),
+            })
 
         self.log.info({
             "type": "train-epoch",
@@ -226,24 +331,12 @@ class Trainer:
 
     def val(self, scenes: SceneDataset, epoch: int):
         eval_start = time.time()
-        val_loss, test_loss = 0.0, 0.0
-        start_length = 0 if self.obs_dropout else self.start_length
 
-        for packed in scenes.epoch_batches(self.batch_size, self.rng, shuffle=False):
-            slot_mask = np.arange(packed.max_agents)[None] < packed.num_agents[:, None]
-            scene_mask = packed.num_agents > 0
-            step = self._get_step(self._val_step_cache, self._make_val_step,
-                                  packed, start_length)
-            loss, loss_test = step(
-                self.params,
-                jnp.asarray(packed.xy),
-                jnp.asarray(packed.mask),
-                jnp.asarray(packed.goals),
-                jnp.asarray(slot_mask),
-                jnp.asarray(scene_mask),
-            )
-            val_loss += float(loss)
-            test_loss += float(loss_test)
+        self.params, parts = self._resident_epoch(
+            scenes, "val", self.params, shuffle=False
+        )
+        val_loss = float(sum(jnp.sum(p[0]) for p in parts))
+        test_loss = float(sum(jnp.sum(p[1]) for p in parts))
 
         self.log.info({
             "type": "val-epoch",
@@ -317,6 +410,7 @@ def main(epochs=25, argv=None):
 
     random.seed(args.seed)
     np.random.seed(args.seed)
+    enable_compilation_cache()
 
     if not os.path.exists(f"OUTPUT_BLOCK/{args.path}"):
         os.makedirs(f"OUTPUT_BLOCK/{args.path}")

@@ -25,8 +25,11 @@ from ..models.sgan import SGAN, LSTMDiscriminator, LSTMGenerator, SGANPredictor
 from ..ops.pooling import make_pool
 from ..utils import checkpoint as ckpt
 from .common import (
+    ResidentDataset,
     SceneDataset,
+    enable_compilation_cache,
     log_process_record,
+    make_bucket_epoch_runner,
     make_optimizer,
     set_lr,
     setup_logging,
@@ -67,6 +70,8 @@ class Trainer:
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self._step_cache = {}
+        self._resident = {}
+        self._runner_cache = {}
 
     # ---------------------------------------------------------------- pieces
     def _scene_criterion(self, rel, xy, scene_mask):
@@ -150,6 +155,111 @@ class Trainer:
             self._step_cache[key] = self._make_step(step_type, key)
         return self._step_cache[key]
 
+    # -------------------------------------------------- resident fast path
+    def _get_resident(self, scenes):
+        if id(scenes) not in self._resident:
+            self._resident[id(scenes)] = ResidentDataset(scenes)
+        return self._resident[id(scenes)]
+
+    def _train_step_core(self):
+        """Fused g/d step: a per-batch flag selects which player updates.
+
+        Mirrors the reference's per-batch g_steps/d_steps round-robin
+        (/root/reference/trajnetbaselines/sgan/trainer.py:144-170) inside the
+        epoch scan via lax.cond; with d_steps == 0 (variety-only) the
+        discriminator branch is dropped statically.
+        """
+
+        def g_loss_fn(g_params, d_params, xy, mask, goals, slot, scene, key):
+            params = {"generator": g_params, "discriminator": d_params}
+            key, gkey = jax.random.split(key)
+            rel_list, _, _, _, scores_fake = self._forward(
+                params, xy, mask, goals, slot, "g", key
+            )
+            loss = self.variety_loss(rel_list, xy, scene)
+            if self.model.d_steps:
+                loss = loss + gan_g_loss(scores_fake, gkey)
+            return loss
+
+        def d_loss_fn(d_params, g_params, xy, mask, goals, slot, scene, key):
+            params = {"generator": g_params, "discriminator": d_params}
+            key, dkey = jax.random.split(key)
+            _, _, _, scores_real, scores_fake = self._forward(
+                params, xy, mask, goals, slot, "d", key
+            )
+            return gan_d_loss(scores_real, scores_fake, dkey)
+
+        def g_update(operand):
+            (g_params, d_params, g_opt, d_opt), batch = operand
+            loss, grads = jax.value_and_grad(g_loss_fn)(g_params, d_params, *batch)
+            updates, g_opt = self.g_optimizer.update(grads, g_opt, g_params)
+            g_params = jax.tree.map(lambda p, u: p + u, g_params, updates)
+            return (g_params, d_params, g_opt, d_opt), loss
+
+        def d_update(operand):
+            (g_params, d_params, g_opt, d_opt), batch = operand
+            loss, grads = jax.value_and_grad(d_loss_fn)(d_params, g_params, *batch)
+            updates, d_opt = self.d_optimizer.update(grads, d_opt, d_params)
+            d_params = jax.tree.map(lambda p, u: p + u, d_params, updates)
+            return (g_params, d_params, g_opt, d_opt), loss
+
+        def step_core(carry, xy, mask, goals, slot, scene, key, is_g):
+            operand = (carry, (xy, mask, goals, slot, scene, key))
+            if self.model.d_steps == 0:
+                return g_update(operand)
+            return jax.lax.cond(is_g, g_update, d_update, operand)
+
+        return step_core
+
+    def _val_step_core(self):
+        def step_core(params, xy, mask, goals, slot, scene, key):
+            rel_list, _, _, _, _ = self.model.forward(
+                params, xy[self.start_length : self.obs_length],
+                mask[self.start_length : self.obs_length],
+                goals, slot, n_predict=self.pred_length,
+                pred_length=self.pred_length, key=key,
+            )
+            return params, self.variety_loss(rel_list, xy, scene)
+
+        return step_core
+
+    def _step_flags(self, n_batches: int) -> np.ndarray:
+        """Per-batch g(1)/d(0) flags: g_steps then d_steps, repeating."""
+        pattern = [1] * self.model.g_steps + [0] * self.model.d_steps
+        reps = -(-n_batches // max(len(pattern), 1)) if pattern else n_batches
+        return np.asarray((pattern * max(reps, 1))[:n_batches], dtype=np.int32)
+
+    def _resident_epoch(self, scenes, mode, carry, augment=False,
+                        augment_noise=False, shuffle=True):
+        resident = self._get_resident(scenes)
+        plan = resident.epoch_plan(self.batch_size, self.rng, shuffle=shuffle)
+        total = sum(idx.shape[0] for idx, _ in plan.values())
+        flags = self._step_flags(total)
+        offset = 0
+        outs = []
+        for bkey, (idx, valid) in plan.items():
+            nb = idx.shape[0]
+            rkey = (mode, bkey, nb)
+            if rkey not in self._runner_cache:
+                core = (
+                    self._train_step_core() if mode == "train" else self._val_step_core()
+                )
+                self._runner_cache[rkey] = make_bucket_epoch_runner(
+                    core, augment=augment, augment_noise=augment_noise,
+                    obs_length=self.obs_length,
+                )
+            data = resident.buckets[bkey]
+            self.key, sub = jax.random.split(self.key)
+            extras = (jnp.asarray(flags[offset : offset + nb]),) if mode == "train" else ()
+            offset += nb
+            carry, out = self._runner_cache[rkey](
+                carry, data["xs"], data["mask"], data["goals"],
+                data["num_agents"], jnp.asarray(idx), jnp.asarray(valid), sub,
+                *extras,
+            )
+            outs.append(out)
+        return carry, outs
+
     # ----------------------------------------------------------------- loops
     def loop(self, train_scenes, val_scenes, out, epochs=25, start_epoch=0):
         for epoch in range(start_epoch, epochs):
@@ -175,6 +285,38 @@ class Trainer:
         print("epoch", epoch)
         self.g_opt_state = set_lr(self.g_opt_state, self.g_schedule(epoch))
         self.d_opt_state = set_lr(self.d_opt_state, self.d_schedule(epoch))
+
+        if not self.obs_dropout:
+            # resident fast path: whole epoch in one dispatch per bucket
+            carry = (
+                self.params["generator"], self.params["discriminator"],
+                self.g_opt_state, self.d_opt_state,
+            )
+            carry, loss_parts = self._resident_epoch(
+                scenes, "train", carry,
+                augment=self.augment, augment_noise=self.augment_noise,
+            )
+            g_params, d_params, self.g_opt_state, self.d_opt_state = carry
+            self.params = {"generator": g_params, "discriminator": d_params}
+            losses = np.concatenate([np.asarray(p) for p in loss_parts])
+            n_batches = len(losses)
+            per_batch = (time.time() - start_time) / max(n_batches, 1)
+            for b in range(10, n_batches + 1, 10):
+                self.log.info({
+                    "type": "train",
+                    "epoch": epoch, "batch": b * self.batch_size,
+                    "n_batches": len(scenes),
+                    "time": round(per_batch, 4),
+                    "lr": float(self.g_schedule(epoch)),
+                    "loss": round(float(losses[b - 1]), 3),
+                })
+            self.log.info({
+                "type": "train-epoch",
+                "epoch": epoch + 1,
+                "loss": round(float(losses.sum()) / max(len(scenes), 1), 5),
+                "time": round(time.time() - start_time, 1),
+            })
+            return
 
         g_steps_left, d_steps_left = self.model.g_steps, self.model.d_steps
         epoch_loss = 0.0
@@ -231,35 +373,13 @@ class Trainer:
             "time": round(time.time() - start_time, 1),
         })
 
-    def _get_val_step(self):
-        if not hasattr(self, "_val_step"):
-            @jax.jit
-            def val_step(params, xy, mask, goals, slot_mask, scene_mask, key):
-                rel_list, _, _, _, _ = self.model.forward(
-                    params, xy[self.start_length : self.obs_length],
-                    mask[self.start_length : self.obs_length],
-                    goals, slot_mask, n_predict=self.pred_length,
-                    pred_length=self.pred_length, key=key,
-                )
-                return self.variety_loss(rel_list, xy, scene_mask)
-
-            self._val_step = val_step
-        return self._val_step
-
     def val(self, scenes: SceneDataset, epoch: int):
         eval_start = time.time()
-        test_loss = 0.0
-        val_step = self._get_val_step()
 
-        for packed in scenes.epoch_batches(self.batch_size, self.rng, shuffle=False):
-            slot_mask = np.arange(packed.max_agents)[None] < packed.num_agents[:, None]
-            scene_mask = packed.num_agents > 0
-            self.key, sub = jax.random.split(self.key)
-            test_loss += float(val_step(
-                self.params, jnp.asarray(packed.xy), jnp.asarray(packed.mask),
-                jnp.asarray(packed.goals), jnp.asarray(slot_mask),
-                jnp.asarray(scene_mask), sub,
-            ))
+        self.params, parts = self._resident_epoch(
+            scenes, "val", self.params, shuffle=False
+        )
+        test_loss = float(sum(jnp.sum(p) for p in parts))
 
         self.log.info({
             "type": "val-epoch",
@@ -287,6 +407,7 @@ def main(epochs=25, argv=None):
 
     random.seed(args.seed)
     np.random.seed(args.seed)
+    enable_compilation_cache()
 
     if not os.path.exists(f"OUTPUT_BLOCK/{args.path}"):
         os.makedirs(f"OUTPUT_BLOCK/{args.path}")

@@ -24,8 +24,10 @@ from ..models.vae import VAE, VAEPredictor
 from ..ops.pooling import make_pool
 from ..utils import checkpoint as ckpt
 from .common import (
+    ResidentDataset,
     SceneDataset,
     log_process_record,
+    make_bucket_epoch_runner,
     make_optimizer,
     set_lr,
     setup_logging,
@@ -64,6 +66,8 @@ class Trainer:
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self._step_cache = {}
+        self._resident = {}
+        self._runner_cache = {}
 
     def _losses(self, params, xy, mask, goals, slot_mask, scene_mask, key, training,
                 start_length=None):
@@ -119,6 +123,65 @@ class Trainer:
 
         return step
 
+    # -------------------------------------------------- resident fast path
+    def _get_resident(self, scenes):
+        if id(scenes) not in self._resident:
+            self._resident[id(scenes)] = ResidentDataset(scenes)
+        return self._resident[id(scenes)]
+
+    def _resident_epoch(self, scenes, mode, carry, augment=False,
+                        augment_noise=False, shuffle=True):
+        resident = self._get_resident(scenes)
+        plan = resident.epoch_plan(self.batch_size, self.rng, shuffle=shuffle)
+        outs = []
+        for bkey, (idx, valid) in plan.items():
+            rkey = (mode, bkey, idx.shape[0])
+            if rkey not in self._runner_cache:
+                core = (
+                    self._train_step_core() if mode == "train" else self._val_step_core()
+                )
+                self._runner_cache[rkey] = make_bucket_epoch_runner(
+                    core, augment=augment, augment_noise=augment_noise,
+                    obs_length=self.obs_length,
+                )
+            data = resident.buckets[bkey]
+            self.key, sub = jax.random.split(self.key)
+            carry, out = self._runner_cache[rkey](
+                carry, data["xs"], data["mask"], data["goals"],
+                data["num_agents"], jnp.asarray(idx), jnp.asarray(valid), sub,
+            )
+            outs.append(out)
+        return carry, outs
+
+    def _train_step_core(self):
+        def loss_fn(params, xy, mask, goals, slot_mask, scene_mask, key):
+            reconstr, kld = self._losses(
+                params, xy, mask, goals, slot_mask, scene_mask, key, True,
+                start_length=self.start_length,
+            )
+            return reconstr + self.alpha_kld * kld, reconstr
+
+        def step_core(carry, xy, mask, goals, slot, scene, key):
+            params, opt_state = carry
+            (_, reconstr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, xy, mask, goals, slot, scene, key
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return (params, opt_state), reconstr
+
+        return step_core
+
+    def _val_step_core(self):
+        def step_core(params, xy, mask, goals, slot, scene, key):
+            reconstr, kld = self._losses(
+                params, xy, mask, goals, slot, scene, key, True,
+                start_length=0 if self.obs_dropout else self.start_length,
+            )
+            return params, reconstr + self.alpha_kld * kld
+
+        return step_core
+
     # ----------------------------------------------------------------- loops
     def loop(self, train_scenes, val_scenes, out, epochs=25, start_epoch=0):
         for epoch in range(start_epoch, epochs):
@@ -138,6 +201,34 @@ class Trainer:
         start_time = time.time()
         print("epoch", epoch)
         self.opt_state = set_lr(self.opt_state, self.lr_schedule(epoch))
+
+        if not self.obs_dropout:
+            # resident fast path: whole epoch in one dispatch per bucket
+            carry = (self.params, self.opt_state)
+            carry, loss_parts = self._resident_epoch(
+                scenes, "train", carry,
+                augment=self.augment, augment_noise=self.augment_noise,
+            )
+            self.params, self.opt_state = carry
+            losses = np.concatenate([np.asarray(p) for p in loss_parts])
+            n_batches = len(losses)
+            per_batch = (time.time() - start_time) / max(n_batches, 1)
+            for b in range(10, n_batches + 1, 10):
+                self.log.info({
+                    "type": "train",
+                    "epoch": epoch, "batch": b * self.batch_size,
+                    "n_batches": len(scenes),
+                    "time": round(per_batch, 4),
+                    "lr": float(self.lr_schedule(epoch)),
+                    "loss": round(float(losses[b - 1]), 3),
+                })
+            self.log.info({
+                "type": "train-epoch",
+                "epoch": epoch + 1,
+                "loss": round(float(losses.sum()) / max(len(scenes), 1), 5),
+                "time": round(time.time() - start_time, 1),
+            })
+            return
 
         epoch_loss = 0.0
         scene_i = 0
@@ -185,33 +276,13 @@ class Trainer:
             "time": round(time.time() - start_time, 1),
         })
 
-    def _get_val_step(self):
-        if not hasattr(self, "_val_step"):
-            @jax.jit
-            def val_step(params, xy, mask, goals, slot_mask, scene_mask, key):
-                reconstr, kld = self._losses(
-                    params, xy, mask, goals, slot_mask, scene_mask, key, True,
-                    start_length=0 if self.obs_dropout else self.start_length,
-                )
-                return reconstr + self.alpha_kld * kld
-
-            self._val_step = val_step
-        return self._val_step
-
     def val(self, scenes: SceneDataset, epoch: int):
         eval_start = time.time()
-        val_loss = 0.0
-        val_step = self._get_val_step()
 
-        for packed in scenes.epoch_batches(self.batch_size, self.rng, shuffle=False):
-            slot_mask = np.arange(packed.max_agents)[None] < packed.num_agents[:, None]
-            scene_mask = packed.num_agents > 0
-            self.key, sub = jax.random.split(self.key)
-            val_loss += float(val_step(
-                self.params, jnp.asarray(packed.xy), jnp.asarray(packed.mask),
-                jnp.asarray(packed.goals), jnp.asarray(slot_mask),
-                jnp.asarray(scene_mask), sub,
-            ))
+        self.params, parts = self._resident_epoch(
+            scenes, "val", self.params, shuffle=False
+        )
+        val_loss = float(sum(jnp.sum(p) for p in parts))
 
         self.log.info({
             "type": "val-epoch",
@@ -233,6 +304,8 @@ def main(epochs=25, argv=None):
 
     random.seed(args.seed)
     np.random.seed(args.seed)
+    from .common import enable_compilation_cache
+    enable_compilation_cache()
 
     if not os.path.exists(f"OUTPUT_BLOCK/{args.path}"):
         os.makedirs(f"OUTPUT_BLOCK/{args.path}")
