@@ -30,7 +30,7 @@ from .reference_harness import (
 )
 
 
-def run_reference(ref_model, scenes, mode, n_predict=12):
+def run_reference(ref_model, scenes, mode, n_predict=12, scene_goals=None):
     """Reference forward over a flat-concat batch; returns numpy [T', N, 2/5].
 
     Runs in float64 (model.double()) so parity with the float64 JAX run is
@@ -40,7 +40,10 @@ def run_reference(ref_model, scenes, mode, n_predict=12):
     xy = np.concatenate(scenes, axis=1)
     batch_split = torch.LongTensor(np.cumsum([0] + [s.shape[1] for s in scenes]))
     xy_t = torch.DoubleTensor(xy)
-    goals = torch.zeros(xy.shape[1], 2, dtype=torch.float64)
+    if scene_goals is None:
+        goals = torch.zeros(xy.shape[1], 2, dtype=torch.float64)
+    else:
+        goals = torch.DoubleTensor(np.concatenate(scene_goals, axis=0))
     with torch.no_grad():
         if mode == "train":
             rel, pred = ref_model(xy_t[:9], goals, batch_split, xy_t[9:20].clone())
@@ -59,7 +62,7 @@ def _seed():
     torch.set_default_dtype(torch.float32)
 
 
-def run_ours(model, params, scenes, mode, n_predict=12):
+def run_ours(model, params, scenes, mode, n_predict=12, scene_goals=None):
     import functools
 
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64), params)
@@ -72,7 +75,13 @@ def run_ours(model, params, scenes, mode, n_predict=12):
     slot = np.zeros((len(scenes), a), bool)
     for i, s in enumerate(scenes):
         slot[i, : s.shape[1]] = True
-    goals = jnp.zeros((len(scenes), a, 2))
+    if scene_goals is None:
+        goals = jnp.zeros((len(scenes), a, 2))
+    else:
+        g = np.zeros((len(scenes), a, 2))
+        for i, sg in enumerate(scene_goals):
+            g[i, : sg.shape[0]] = sg
+        goals = jnp.asarray(g)
 
     if mode == "train":
         fwd = jax.jit(
@@ -142,6 +151,28 @@ def test_vanilla_lstm_parity(mode):
     scenes = make_scenes()
     ref_out = run_reference(ref_model, scenes, mode)
     ours = run_ours(model, params, scenes, mode)
+    compare(*ref_out, *ours[:3], scenes)
+
+
+@pytest.mark.parametrize("mode", ["train", "test"])
+def test_goal_conditioned_parity(mode):
+    """goal_flag=True path: goal-direction embedding concatenated per step
+    (/root/reference/trajnetbaselines/lstm/lstm.py:110-115, 134-141)."""
+    ref = load_reference()
+    torch.manual_seed(0)
+    ref_model = ref.lstm.lstm.LSTM(pool=None, goal_flag=True, goal_dim=64).eval()
+
+    model = LSTM(pool=None, goal_flag=True, goal_dim=64)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = copy_lstm_weights(ref_model, params)
+
+    scenes = make_scenes()
+    rng = np.random.default_rng(7)
+    scene_goals = [rng.normal(scale=5.0, size=(s.shape[1], 2)) for s in scenes]
+    # include one exactly-reached goal to exercise the norm==0 zero branch
+    scene_goals[0][1] = scenes[0][8, 1]
+    ref_out = run_reference(ref_model, scenes, mode, scene_goals=scene_goals)
+    ours = run_ours(model, params, scenes, mode, scene_goals=scene_goals)
     compare(*ref_out, *ours[:3], scenes)
 
 

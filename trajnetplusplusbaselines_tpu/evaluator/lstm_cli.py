@@ -41,6 +41,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    from ..trainers.common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     dataset = args.path
     args.path = "DATA_BLOCK/" + args.path + "/test_pred/"
     if args.data_root:

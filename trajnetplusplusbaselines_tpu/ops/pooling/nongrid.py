@@ -290,8 +290,15 @@ class TrajectronPooling:
 class NMMP:
     """Neural message passing over agent hidden-state embeddings (NMMP, CVPR'20).
 
-    Mirror of /root/reference/trajnetbaselines/lstm/more_non_gridbased_pooling.py:5-79
-    with explicit slot masking: edge means run over the scene's real agents.
+    Mirror of /root/reference/trajnetbaselines/lstm/more_non_gridbased_pooling.py:5-79.
+    The upstream module is stale (its ``message_pass`` assumes a per-scene 2-D
+    ``[n, d]`` input but the trainer-side pooling interface feeds padded 3-D
+    ``[scene, agent, d]`` tensors with NaN placeholder rows, so it cannot run
+    as wired); this is the repaired dense formulation of the same algorithm:
+    per scene, k rounds of node->edge->node message passing where edge means
+    run over the tracks participating in the step (present at t-1 and t,
+    self excluded), and scenes with <=1 participating track return zeros like
+    the reference's ``num_tracks == 1`` early exit (:70-72).
     """
 
     stateful = False
@@ -319,7 +326,8 @@ class NMMP:
         s, a = hidden.shape[:2]
         node = jax.nn.relu(linear(params["hidden_embedding"], hidden))  # [S, A, m]
 
-        pair_valid = slot_mask[:, None, :] & slot_mask[:, :, None]
+        vis = present1 & present2 & slot_mask  # tracks participating in the step
+        pair_valid = vis[:, None, :] & vis[:, :, None]
         pair_valid = pair_valid & ~jnp.eye(a, dtype=bool)[None]  # j != i
         denom = jnp.maximum(jnp.sum(pair_valid, axis=2, keepdims=True), 1)  # [S, A, 1]
 
@@ -332,4 +340,7 @@ class NMMP:
             e_in = jnp.sum(e_in * pair_valid[..., None], axis=2) / denom
             node = linear(params["edge_to_node"], jnp.concatenate([e_in, e_out], axis=-1))
 
-        return linear(params["out"], node), state
+        # scenes with <=1 participating track produce no interaction (the
+        # reference returns zeros for num_tracks == 1)
+        multi = jnp.sum(vis, axis=1, keepdims=True) > 1  # [S, 1]
+        return linear(params["out"], node) * multi[..., None], state
