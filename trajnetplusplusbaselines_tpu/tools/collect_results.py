@@ -1,0 +1,116 @@
+"""Aggregate per-seed evaluation results into mean +- std tables.
+
+The published protocol reports mean (std) over seeds 42/10/20/30/40
+(/root/reference/README.rst:84-98, scripts/interaction/vanilla.sh:5).  This
+tool re-aggregates the already-written ``test_pred/<model>_seed<k>_modes<m>/``
+prediction files against ``test_private`` (metric math only — no model or
+device work), groups models by name with the ``seed<k>`` token stripped, and
+prints one row per group plus a machine-readable JSON file.
+
+Usage:
+    python -m trajnetplusplusbaselines_tpu.tools.collect_results \
+        --path trajdata_split [--out results_seeds.json]
+"""
+
+import argparse
+import json
+import os
+import re
+
+import numpy as np
+
+
+def overall_metrics(model_name: str, args):
+    """Overall Metrics row for one prediction dir (same math as the table)."""
+    from ..evaluator.trajnet_evaluator import eval as eval_one
+    from ..metrics.records import Metrics
+
+    model_dir = os.path.join(args.path, model_name)
+    preds = sorted(
+        f for f in os.listdir(model_dir)
+        if f.endswith(".ndjson") and "collision_test" not in f
+    )
+    total = Metrics(0)
+    for f in preds:
+        metrics, _, _ = eval_one(
+            os.path.join(args.path.replace("pred", "private"), f),
+            os.path.join(model_dir, f),
+            args,
+        )
+        total += metrics
+    total.avg_vals()
+    return {
+        "N": total.N,
+        "ade": total.average_l2,
+        "fde": total.final_l2,
+        "col_i": total.pred_col,
+        "col_ii": total.gt_col,
+        "topk_ade": total.topk_ade,
+        "topk_fde": total.topk_fde,
+        "nll": total.nll,
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--path", default="trajdata_split")
+    parser.add_argument("--obs_length", default=9, type=int)
+    parser.add_argument("--pred_length", default=12, type=int)
+    parser.add_argument("--disable-collision", dest="disable_collision",
+                        action="store_true")
+    parser.add_argument("--out", default=None, help="JSON output file")
+    parser.add_argument("--models", nargs="*", default=None,
+                        help="prediction dir names (default: all in test_pred)")
+    args = parser.parse_args(argv)
+    args.path = "DATA_BLOCK/" + args.path + "/test_pred/"
+
+    models = args.models or sorted(
+        d for d in os.listdir(args.path)
+        if os.path.isdir(os.path.join(args.path, d)) and not d.endswith(".tmp")
+    )
+
+    per_model = {}
+    for name in models:
+        per_model[name] = overall_metrics(name, args)
+        m = per_model[name]
+        print(f"{name:55s} ade {m['ade']:.3f} fde {m['fde']:.3f} "
+              f"col-I {m['col_i']:.2f} col-II {m['col_ii']:.2f}")
+
+    # group by name with the seed token stripped
+    groups = {}
+    for name, m in per_model.items():
+        group = re.sub(r"seed\d+", "seed*", name)
+        groups.setdefault(group, []).append(m)
+
+    print()
+    summary = {}
+    for group, rows in sorted(groups.items()):
+        agg = {}
+        for key in ("ade", "fde", "col_i", "col_ii", "topk_ade", "topk_fde", "nll"):
+            vals = np.array([r[key] for r in rows], dtype=float)
+            if key == "col_i" and (vals == -1).any():
+                agg[key] = {"mean": -1.0, "std": 0.0, "n": len(vals)}
+                continue
+            agg[key] = {
+                "mean": float(vals.mean()),
+                "std": float(vals.std(ddof=0)),
+                "n": len(vals),
+            }
+        summary[group] = agg
+        a, f_, ci, cii = agg["ade"], agg["fde"], agg["col_i"], agg["col_ii"]
+        print(
+            f"{group:55s} ade {a['mean']:.2f}+-{a['std']:.2f} "
+            f"fde {f_['mean']:.2f}+-{f_['std']:.2f} "
+            f"col-I {ci['mean']:.1f}+-{ci['std']:.1f} "
+            f"col-II {cii['mean']:.1f}+-{cii['std']:.1f} ({a['n']} seeds)"
+        )
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"per_model": per_model, "groups": summary}, f, indent=2)
+        print(f"\nwrote {args.out}")
+    return summary
+
+
+if __name__ == "__main__":
+    main()
