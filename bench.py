@@ -15,6 +15,83 @@ import time
 import numpy as np
 
 REFERENCE_SCENES_PER_SEC = 114.85  # torch CPU, batch=8, A=8, D-LSTM rollout
+# torch CPU, batch=8, A=8, D-LSTM forward+loss+backward+Adam
+# (scripts/measure_ref_train_baseline.py on this container)
+REFERENCE_TRAIN_SCENES_PER_SEC = 46.38
+
+
+def train_throughput():
+    """Scenes/sec trained: the resident-epoch scan exactly as the trainers
+    run it (batch=8 sequential SGD, directional pooling, rotation
+    augmentation on device, f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trajnetplusplusbaselines_tpu.models.lstm import LSTM
+    from trajnetplusplusbaselines_tpu.ops.pooling import GridBasedPooling
+    from trajnetplusplusbaselines_tpu.trainers.common import (
+        make_bucket_epoch_runner,
+        make_optimizer,
+    )
+
+    pool = GridBasedPooling(
+        type_="directional", hidden_dim=128, cell_side=0.6, n=12, out_dim=256
+    )
+    model = LSTM(pool=pool, embedding_dim=64, hidden_dim=128)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32), model.init_params(jax.random.PRNGKey(0))
+    )
+    optimizer = make_optimizer()
+    opt_state = optimizer.init(params)
+
+    obs, pred, seq, batch = 9, 12, 21, 8
+
+    def loss_fn(params, xy, mask, goals, slot, scene):
+        from trajnetplusplusbaselines_tpu.losses import prediction_loss
+
+        rel, _, _ = model.forward(
+            params, xy[:obs], mask[:obs], goals, slot,
+            prediction_truth=xy[obs : seq - 1],
+            prediction_truth_mask=mask[obs : seq - 1],
+        )
+        targets = xy[obs:seq, :, 0] - xy[obs - 1 : seq - 1, :, 0]
+        return prediction_loss(rel[-pred:, :, 0], targets, scene) * batch
+
+    def step_core(carry, xy, mask, goals, slot, scene, key):
+        del key
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params, xy, mask, goals, slot, scene)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return (params, opt_state), loss
+
+    runner = make_bucket_epoch_runner(step_core, augment=True)
+
+    n_scenes, a, t = 4096, 8, 21
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray((rng.normal(size=(n_scenes, t, a, 2)).cumsum(axis=1) * 0.3
+                      ).astype(np.float32))
+    mask = jnp.ones((n_scenes, t, a), bool)
+    goals = jnp.zeros((n_scenes, a, 2), jnp.float32)
+    num_agents = jnp.full((n_scenes,), a, jnp.int32)
+    idx = jnp.asarray(
+        rng.permutation(n_scenes).reshape(n_scenes // batch, batch).astype(np.int32)
+    )
+    valid = jnp.ones((n_scenes // batch, batch), bool)
+
+    def run(carry, key):
+        carry, losses = runner(carry, xs, mask, goals, num_agents, idx, valid, key)
+        float(jnp.sum(losses))  # host sync
+        return carry
+
+    carry = (params, opt_state)
+    carry = run(carry, jax.random.PRNGKey(0))  # compile + warm
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        carry = run(carry, jax.random.PRNGKey(i + 1))
+    dt = time.perf_counter() - t0
+    return n_scenes * iters / dt
 
 
 def main():
@@ -62,6 +139,7 @@ def main():
     dt = time.perf_counter() - t0
 
     scenes_per_sec = s * iters / dt
+    trained_per_sec = train_throughput()
     print(
         json.dumps(
             {
@@ -69,6 +147,10 @@ def main():
                 "value": round(scenes_per_sec, 1),
                 "unit": "scenes/sec (9-obs/12-pred, A=8, directional pooling)",
                 "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 2),
+                "train_scenes_per_sec": round(trained_per_sec, 1),
+                "train_vs_baseline": round(
+                    trained_per_sec / REFERENCE_TRAIN_SCENES_PER_SEC, 2
+                ),
             }
         )
     )
