@@ -44,6 +44,24 @@ echo "EVAL nmmp $(date +%T)" >>"$log"
 run python -m trajnetplusplusbaselines_tpu.evaluator.lstm_cli \
   --path "$path" --output "OUTPUT_BLOCK/$path/lstm_nmmp_seed42.pkl"
 
+# SGAN variety-only (reference scripts/multimodal/variety.sh: --d_steps 0)
+for seed in 42 10 20 30 40; do
+  out="OUTPUT_BLOCK/$path/sgan_directional_seed${seed}_variety.pkl"
+  if [ ! -f "$out.epoch25" ]; then
+    echo "TRAIN $out $(date +%T)" >>"$log"
+    run python -m trajnetplusplusbaselines_tpu.trainers.sgan \
+      --type directional --augment --save_every 20 --seed "$seed" \
+      --path "$path" --data_root "$data_root" \
+      --output "seed${seed}_variety" --k 3 --d_steps 0
+  fi
+done
+for seed in 42 10 20 30 40; do
+  echo "EVAL variety seed$seed $(date +%T)" >>"$log"
+  run python -m trajnetplusplusbaselines_tpu.evaluator.lstm_cli \
+    --path "$path" --modes 3 \
+    --output "OUTPUT_BLOCK/$path/sgan_directional_seed${seed}_variety.pkl"
+done
+
 # 50-mode SGAN: exercises the modes>48 NLL evaluator branch end-to-end
 echo "EVAL sgan modes=50 $(date +%T)" >>"$log"
 run python -m trajnetplusplusbaselines_tpu.evaluator.lstm_cli \

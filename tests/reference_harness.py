@@ -162,6 +162,9 @@ def copy_grid_pool_weights(ref_pool, pool_params):
 
         linears = [m for m in ref_pool.embedding if isinstance(m, torch.nn.Linear)]
         pool_params["embedding"] = [torch_linear_to_jax(m) for m in linears]
+    if hasattr(ref_pool, "pool_lstm"):  # embedding_arch == 'lstm_layer'
+        pool_params["pool_lstm"] = torch_lstmcell_to_jax(ref_pool.pool_lstm)
+        pool_params["hidden2pool"] = torch_linear_to_jax(ref_pool.hidden2pool)
     return pool_params
 
 

@@ -209,6 +209,111 @@ def test_grid_pool_lstm_parity(pool_type, mode):
     compare(*ref_out, *ours[:3], scenes)
 
 
+@pytest.mark.parametrize(
+    "arch,layer_dims", [("two_layer", [1024]), ("three_layer", [1024, 512])]
+)
+def test_grid_embedding_arch_parity(arch, layer_dims):
+    """Deeper grid encoders, incl. the published S-LSTM config (social,
+    two_layer 1024, gridbased_pooling.py:316-343)."""
+    from trajnetplusplusbaselines_tpu.ops.pooling import GridBasedPooling
+
+    ref = load_reference()
+    torch.manual_seed(0)
+    kwargs = dict(type_="social", hidden_dim=128, cell_side=0.6, n=8,
+                  out_dim=256, latent_dim=16, embedding_arch=arch,
+                  layer_dims=layer_dims)
+    ref_pool = ref.lstm.gridbased_pooling.GridBasedPooling(**kwargs)
+    ref_model = ref.lstm.lstm.LSTM(pool=ref_pool, embedding_dim=64, hidden_dim=128).eval()
+
+    pool = GridBasedPooling(**kwargs)
+    model = LSTM(pool=pool)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = copy_lstm_weights(ref_model, params)
+    params["pool"] = copy_grid_pool_weights(ref_pool, params["pool"])
+
+    scenes = make_scenes()
+    ref_out = run_reference(ref_model, scenes, "test")
+    ours = run_ours(model, params, scenes, "test")
+    compare(*ref_out, *ours[:3], scenes)
+
+
+def test_lstm_layer_grid_intent_parity():
+    """Stateful lstm_layer grid encoder vs the reference's *intended*
+    algorithm (gridbased_pooling.py:353-379 lstm_forward, which upstream
+    never invokes — forward() returns the plain embedding and track_mask is
+    never set, so the executed reference degenerates to one_layer).  Here
+    lstm_forward is executed directly with repaired inputs (track_mask +
+    per-track hidden lists maintained as lstm.py does for non-grid stateful
+    pools) and our scan-carried pool state must match step by step,
+    including the frozen state of non-participating tracks."""
+    from trajnetplusplusbaselines_tpu.ops.pooling import GridBasedPooling
+
+    ref = load_reference()
+    torch.manual_seed(0)
+    kwargs = dict(type_="social", hidden_dim=128, cell_side=0.6, n=6,
+                  out_dim=64, latent_dim=16, embedding_arch="lstm_layer")
+    ref_pool = ref.lstm.gridbased_pooling.GridBasedPooling(**kwargs).double()
+    pool = GridBasedPooling(**kwargs)
+
+    model = LSTM(pool=pool)  # only for init; we drive the pool directly
+    params = model.init_params(jax.random.PRNGKey(0))
+    params["pool"] = copy_grid_pool_weights(ref_pool, params["pool"])
+    pool_params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64), params["pool"])
+
+    a, steps = 4, 4
+    rng = np.random.default_rng(11)
+    obs = rng.normal(size=(steps + 1, a, 2)).cumsum(axis=0) * 0.4
+    hidden = rng.normal(size=(steps, a, 128))
+    present = np.ones((steps + 1, a), bool)
+    present[3, 2] = False  # track 2 drops out of step 3 (t-1=2? no: obs2 idx 3)
+
+    # --- reference: drive lstm_forward with repaired bookkeeping
+    ref_h = [torch.zeros(128, dtype=torch.float64) for _ in range(a)]
+    ref_c = [torch.zeros(128, dtype=torch.float64) for _ in range(a)]
+    ref_pool.hidden_cell_state = (ref_h, ref_c)
+    ref_outs = []
+    for t in range(steps):
+        mask_np = present[t] & present[t + 1]
+        o1 = np.where(present[t][:, None], obs[t], np.nan)
+        o2 = np.where(present[t + 1][:, None], obs[t + 1], np.nan)
+        grid = ref_pool.social(
+            torch.DoubleTensor(hidden[t][None]),
+            torch.DoubleTensor(o1[None]), torch.DoubleTensor(o2[None]),
+        ).reshape(a, -1)
+        ref_pool.track_mask = torch.BoolTensor(mask_np)
+        out = ref_pool.lstm_forward(grid[mask_np])
+        full = torch.zeros(a, kwargs["out_dim"], dtype=torch.float64)
+        if out.shape[0] == a:  # single-track zero rule returns all rows
+            full = out
+        else:
+            full[torch.BoolTensor(mask_np)] = out
+        ref_outs.append(full.detach().numpy())
+
+    # --- ours: same steps through apply() with the scan-carried state
+    state = pool.init_state(1, a)
+    state = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64), state)
+    for t in range(steps):
+        p1 = jnp.asarray(present[t][None])
+        p2 = jnp.asarray(present[t + 1][None])
+        out, state = pool.apply(
+            pool_params, state,
+            jnp.asarray(hidden[t][None]),
+            jnp.asarray(np.where(present[t][:, None], obs[t], 0.0)[None]),
+            jnp.asarray(np.where(present[t + 1][:, None], obs[t + 1], 0.0)[None]),
+            p1, p2, jnp.ones((1, a), bool),
+        )
+        mask_np = present[t] & present[t + 1]
+        np.testing.assert_allclose(
+            np.asarray(out)[0][mask_np], ref_outs[t][mask_np], atol=1e-10
+        )
+    # frozen state for the dropped track: step 3 must not have updated it
+    h_final = np.asarray(state[0])[0]
+    ref_h_final = np.stack(
+        [h.detach().numpy() for h in ref_pool.hidden_cell_state[0]]
+    )
+    np.testing.assert_allclose(h_final, ref_h_final, atol=1e-10)
+
+
 @pytest.mark.parametrize("mode", ["train", "test"])
 def test_hiddenstatemlp_parity(mode):
     from trajnetplusplusbaselines_tpu.ops.pooling import HiddenStateMLPPooling

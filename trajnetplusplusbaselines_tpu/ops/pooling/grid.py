@@ -218,7 +218,20 @@ class GridBasedPooling:
         if not self.stateful:
             return emb, state
 
+        # stateful lstm_layer encoder — the documented intent of the
+        # reference's (dead, never-invoked) lstm_forward
+        # (gridbased_pooling.py:353-379): only tracks participating in the
+        # step update their interaction-LSTM state, and a step with <=1
+        # participating track contributes zeros and freezes all state.
+        vis = present1 & present2
+        if slot_mask is not None:
+            vis = vis & slot_mask
+        multi = jnp.sum(vis, axis=1, keepdims=True) > 1  # [S, 1]
+        upd = (vis & multi)[..., None]
+
         h, c = state
         h_new, c_new = lstm_cell(params["pool_lstm"], emb, (h, c))
-        out = linear(params["hidden2pool"], h_new)
+        h_new = jnp.where(upd, h_new, h)
+        c_new = jnp.where(upd, c_new, c)
+        out = linear(params["hidden2pool"], h_new) * multi[..., None]
         return out, (h_new, c_new)
