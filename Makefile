@@ -3,7 +3,21 @@
 DATA_ROOT ?= /root/reference/DATA_BLOCK
 PATH_NAME ?= trajdata_split
 
-.PHONY: test test-fast bench data train-dlstm eval-dlstm eval-classical dryrun
+.PHONY: test test-fast bench data train-dlstm eval-dlstm eval-classical dryrun \
+	protocol extras results
+
+# full published 5-seed protocol over all model families (resumable)
+protocol:
+	bash scripts/run_protocol.sh
+
+# goals / NMMP / variety sweeps + the 50-mode NLL evaluator drive
+extras:
+	bash scripts/run_extras.sh
+
+# aggregate per-seed eval results into mean+-std groups
+results:
+	python -m trajnetplusplusbaselines_tpu.tools.collect_results \
+	    --path $(PATH_NAME) --out results_seeds.json
 
 test:
 	python -m pytest tests/ -q
@@ -32,7 +46,6 @@ eval-classical:
 	python -m trajnetplusplusbaselines_tpu.evaluator.classical_cli \
 	    --path $(PATH_NAME) --cv --kf
 
+# dryrun_multichip self-bootstraps its virtual CPU devices
 dryrun:
-	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c \
-	    "import jax; jax.config.update('jax_platforms','cpu'); \
-	     import __graft_entry__ as g; g.dryrun_multichip(8)"
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
