@@ -29,12 +29,13 @@ def _setup(seed=0, s=4, a=8):
     return model, params, obs1, obs2, p1, p2, h, c
 
 
-def test_fused_step_matches_xla_step(monkeypatch):
+@pytest.mark.parametrize("a", [4, 8, 16])
+def test_fused_step_matches_xla_step(a):
     from jax.experimental.pallas import tpu as pltpu
 
     from trajnetplusplusbaselines_tpu.ops.pallas import fused_step
 
-    model, params, obs1, obs2, p1, p2, h, c = _setup()
+    model, params, obs1, obs2, p1, p2, h, c = _setup(s=4 if a <= 8 else 2, a=a)
     s, a = obs1.shape[:2]
 
     # XLA reference path (decoder cell)
