@@ -133,7 +133,8 @@ class ResidentDataset:
 
 def make_bucket_epoch_runner(step_core, augment: bool = False,
                              augment_noise: bool = False,
-                             noise_thresh: float = 0.02, obs_length: int = 9):
+                             noise_thresh: float = 0.02, obs_length: int = 9,
+                             ensemble: bool = False):
     """One jitted dispatch running a whole epoch over one resident bucket.
 
     ``step_core(carry, xy [T,S,A,2], mask [T,S,A], goals [S,A,2],
@@ -141,9 +142,14 @@ def make_bucket_epoch_runner(step_core, augment: bool = False,
     the batch plan; augmentation (uniform scene rotation, neighbour noise on
     observed frames — mirrors data/augmentation.py random_rotation/add_noise)
     happens on device from the passed PRNG key.
-    """
-    import functools
 
+    With ``ensemble=True`` the returned function expects a leading member
+    axis on ``carry``/``idx``/``valid``/``key`` (and any extras) and trains
+    every member in one dispatch — each member has its own shuffle order,
+    augmentation draws and parameters, sharing only the resident scene
+    arrays.  This is the SURVEY §2.5 TPU-native replacement for sequential
+    per-seed shell sweeps.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -153,8 +159,7 @@ def make_bucket_epoch_runner(step_core, augment: bool = False,
         x, y = xy[..., 0], xy[..., 1]
         return jnp.stack([x * ct - y * st, x * st + y * ct], axis=-1)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def run(carry, xs, mask, goals, num_agents, idx, valid, key, *extras):
+    def run_one(carry, xs, mask, goals, num_agents, idx, valid, key, *extras):
         if augment:
             key, k = jax.random.split(key)
             theta = jax.random.uniform(
@@ -184,7 +189,19 @@ def make_bucket_epoch_runner(step_core, augment: bool = False,
         (carry, _), outs = jax.lax.scan(body, (carry, key), (idx, valid) + extras)
         return carry, outs
 
-    return run
+    if not ensemble:
+        return jax.jit(run_one, donate_argnums=(0,))
+
+    def run_members(carries, xs, mask, goals, num_agents, idxs, valids, keys,
+                    *extras):
+        member = lambda carry, idx, valid, key, *ex: run_one(
+            carry, xs, mask, goals, num_agents, idx, valid, key, *ex
+        )
+        return jax.vmap(
+            member, in_axes=(0, 0, 0, 0) + (0,) * len(extras)
+        )(carries, idxs, valids, keys, *extras)
+
+    return jax.jit(run_members, donate_argnums=(0,))
 
 
 def stack_packed(chunk: List[batching.PackedScenes]):
