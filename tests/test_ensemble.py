@@ -47,3 +47,63 @@ def test_ensemble_matches_sequential_runs(data_tree):
             ),
             ens_params[s], seq_params,
         )
+
+
+def test_sgan_resident_flags_update_correct_player(data_tree):
+    """In the fused g/d scan step, a g-flagged batch must leave the
+    discriminator untouched and vice versa (lax.cond branch selection)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trajnetplusplusbaselines_tpu.trainers import sgan as sgan_trainer
+
+    # build a tiny trainer via main()'s wiring but stop before loop
+    import argparse
+    from trajnetplusplusbaselines_tpu.models.sgan import (
+        SGAN, LSTMDiscriminator, LSTMGenerator,
+    )
+    from trajnetplusplusbaselines_tpu.trainers.common import make_optimizer, step_lr
+
+    gen = LSTMGenerator(embedding_dim=8, hidden_dim=16, pool=None, noise_dim=4)
+    disc = LSTMDiscriminator(embedding_dim=8, hidden_dim=16, pool=None)
+    model = SGAN(gen, disc, k=2, d_steps=1, g_steps=1)
+    params = model.init_params(jax.random.PRNGKey(0))
+    t = sgan_trainer.Trainer(
+        model, params, make_optimizer(), make_optimizer(),
+        step_lr(1e-3, 10), step_lr(1e-3, 10), batch_size=2,
+    )
+    step_core = t._train_step_core()
+
+    rng = np.random.default_rng(0)
+    xy = jnp.asarray(rng.normal(size=(21, 2, 3, 2)).cumsum(axis=0))
+    mask = jnp.ones((21, 2, 3), bool)
+    goals = jnp.zeros((2, 3, 2))
+    slot = jnp.ones((2, 3), bool)
+    scene = jnp.ones(2, bool)
+    key = jax.random.PRNGKey(1)
+
+    carry0 = (params["generator"], params["discriminator"],
+              t.g_opt_state, t.d_opt_state)
+
+    (g1, d1, _, _), _ = step_core(carry0, xy, mask, goals, slot, scene, key,
+                                  jnp.asarray(1))
+    assert not all(
+        np.allclose(a, b) for a, b in
+        zip(jax.tree.leaves(g1), jax.tree.leaves(params["generator"]))
+    ), "g step did not update the generator"
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        d1, params["discriminator"],
+    )
+
+    (g2, d2, _, _), _ = step_core(carry0, xy, mask, goals, slot, scene, key,
+                                  jnp.asarray(0))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        g2, params["generator"],
+    )
+    assert not all(
+        np.allclose(a, b) for a, b in
+        zip(jax.tree.leaves(d2), jax.tree.leaves(params["discriminator"]))
+    ), "d step did not update the discriminator"
