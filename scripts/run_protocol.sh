@@ -13,7 +13,7 @@ SEEDS=${SEEDS:-"42 10 20 30 40"}
 
 run() {
   for attempt in 1 2 3; do
-    if timeout 1500 "$@" >>"$log" 2>&1; then return 0; fi
+    if timeout 3600 "$@" >>"$log" 2>&1; then return 0; fi
     echo "RETRY($attempt) rc=$?: $*" >>"$log"
     sleep 15
   done
