@@ -11,7 +11,7 @@ log=${SWEEP_LOG:-extras.log}
 
 run() {
   for attempt in 1 2 3; do
-    if timeout 2400 "$@" >>"$log" 2>&1; then return 0; fi
+    timeout 2400 "$@" >>"$log" 2>&1 && return 0
     echo "RETRY($attempt) rc=$?: $*" >>"$log"
     sleep 15
   done

@@ -2,7 +2,7 @@
 # Full published 5-seed protocol over every model family (VERDICT round-1 #2).
 # Mirrors /root/reference/scripts/interaction/*.sh + scripts/multimodal/*.sh:
 # seeds 42/10/20/30/40, 25 epochs, --augment, default hyperparams per family.
-# Resilient to the flaky TPU tunnel:每 command retries up to 3 times, and
+# Resilient to the flaky TPU tunnel: every command retries up to 3 times, and
 # completed runs (checkpoint .epoch25 present) are skipped so the script can
 # resume after interruption.
 set -u
@@ -13,7 +13,7 @@ SEEDS=${SEEDS:-"42 10 20 30 40"}
 
 run() {
   for attempt in 1 2 3; do
-    if timeout 3600 "$@" >>"$log" 2>&1; then return 0; fi
+    timeout 3600 "$@" >>"$log" 2>&1 && return 0
     echo "RETRY($attempt) rc=$?: $*" >>"$log"
     sleep 15
   done

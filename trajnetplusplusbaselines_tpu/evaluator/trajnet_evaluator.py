@@ -254,7 +254,7 @@ def trajnet_evaluate(args):
             if "collision_test.ndjson" not in f
         ]
         true_datasets = [
-            args.path.replace("pred", "private") + f
+            args.path.replace("/test_pred/", "/test_private/") + f
             for f in model_preds
             if "collision_test.ndjson" not in f
         ]

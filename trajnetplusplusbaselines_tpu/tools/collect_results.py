@@ -33,7 +33,7 @@ def overall_metrics(model_name: str, args):
     total = Metrics(0)
     for f in preds:
         metrics, _, _ = eval_one(
-            os.path.join(args.path.replace("pred", "private"), f),
+            os.path.join(args.path.replace("/test_pred/", "/test_private/"), f),
             os.path.join(model_dir, f),
             args,
         )

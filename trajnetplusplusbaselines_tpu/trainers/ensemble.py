@@ -110,9 +110,11 @@ class EnsembleTrainer:
 
     # ------------------------------------------------------------- epochs
     def _get_resident(self, scenes):
+        # key by id but pin the dataset with a strong reference so a freed
+        # object's reused address can never alias a stale cache entry
         if id(scenes) not in self._resident:
-            self._resident[id(scenes)] = ResidentDataset(scenes)
-        return self._resident[id(scenes)]
+            self._resident[id(scenes)] = (scenes, ResidentDataset(scenes))
+        return self._resident[id(scenes)][1]
 
     def _member_plans(self, resident, shuffle):
         """Per-bucket stacked [E, nb, S] plans: one shuffle per member."""

@@ -74,7 +74,6 @@ class Trainer:
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed + 1)
         self._train_step_cache = {}
-        self._val_step_cache = {}
         self._resident = {}
         self._runner_cache = {}
 
@@ -148,9 +147,11 @@ class Trainer:
 
     # -------------------------------------------------- resident fast path
     def _get_resident(self, scenes):
+        # key by id but pin the dataset with a strong reference so a freed
+        # object's reused address can never alias a stale cache entry
         if id(scenes) not in self._resident:
-            self._resident[id(scenes)] = ResidentDataset(scenes)
-        return self._resident[id(scenes)]
+            self._resident[id(scenes)] = (scenes, ResidentDataset(scenes))
+        return self._resident[id(scenes)][1]
 
     def _train_step_core(self):
         def loss_fn(params, xy, mask, goals, slot_mask, scene_mask):

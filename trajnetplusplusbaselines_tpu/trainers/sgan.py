@@ -157,9 +157,11 @@ class Trainer:
 
     # -------------------------------------------------- resident fast path
     def _get_resident(self, scenes):
+        # key by id but pin the dataset with a strong reference so a freed
+        # object's reused address can never alias a stale cache entry
         if id(scenes) not in self._resident:
-            self._resident[id(scenes)] = ResidentDataset(scenes)
-        return self._resident[id(scenes)]
+            self._resident[id(scenes)] = (scenes, ResidentDataset(scenes))
+        return self._resident[id(scenes)][1]
 
     def _train_step_core(self):
         """Fused g/d step: a per-batch flag selects which player updates.
