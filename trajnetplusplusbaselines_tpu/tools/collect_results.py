@@ -51,6 +51,36 @@ def overall_metrics(model_name: str, args):
     }
 
 
+def _fingerprint(model_dir):
+    """[file, mtime, size] of every prediction file — invalidates the cache
+    whenever an in-progress eval adds or rewrites files."""
+    out = []
+    for f in sorted(os.listdir(model_dir)):
+        p = os.path.join(model_dir, f)
+        if f.endswith(".ndjson") and os.path.isfile(p):
+            out.append([f, os.path.getmtime(p), os.path.getsize(p)])
+    return out
+
+
+def cached_metrics(name, args):
+    """overall_metrics with a per-model JSON cache (metric math is ~2 min per
+    model, so incremental collection runs re-evaluate only new/changed dirs)."""
+    model_dir = os.path.join(args.path, name)
+    fp = _fingerprint(model_dir)
+    cache_file = os.path.join(args.cache, name + ".json") if args.cache else None
+    if cache_file and os.path.exists(cache_file):
+        with open(cache_file) as f:
+            entry = json.load(f)
+        if entry.get("fingerprint") == fp:
+            return entry["metrics"]
+    metrics = overall_metrics(name, args)
+    if cache_file:
+        os.makedirs(args.cache, exist_ok=True)
+        with open(cache_file, "w") as f:
+            json.dump({"fingerprint": fp, "metrics": metrics}, f)
+    return metrics
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--path", default="trajdata_split")
@@ -61,8 +91,14 @@ def main(argv=None):
     parser.add_argument("--out", default=None, help="JSON output file")
     parser.add_argument("--models", nargs="*", default=None,
                         help="prediction dir names (default: all in test_pred)")
+    parser.add_argument("--cache", default=None,
+                        help="per-model metrics cache dir ('' disables; "
+                             "default <path>/.metrics_cache)")
     args = parser.parse_args(argv)
     args.path = "DATA_BLOCK/" + args.path + "/test_pred/"
+    if args.cache is None:
+        args.cache = os.path.join(os.path.dirname(args.path.rstrip("/")),
+                                  ".metrics_cache")
 
     models = args.models or sorted(
         d for d in os.listdir(args.path)
@@ -71,10 +107,10 @@ def main(argv=None):
 
     per_model = {}
     for name in models:
-        per_model[name] = overall_metrics(name, args)
+        per_model[name] = cached_metrics(name, args)
         m = per_model[name]
         print(f"{name:55s} ade {m['ade']:.3f} fde {m['fde']:.3f} "
-              f"col-I {m['col_i']:.2f} col-II {m['col_ii']:.2f}")
+              f"col-I {m['col_i']:.2f} col-II {m['col_ii']:.2f}", flush=True)
 
     # group by name with the seed token stripped
     groups = {}
