@@ -314,10 +314,17 @@ def step_lr(lr: float, step_size: Optional[int], gamma: float = 0.1):
     return schedule
 
 
-def make_optimizer(weight_decay: float = 1e-4):
-    """Adam with torch-style coupled weight decay; lr injected per epoch."""
+def make_optimizer(weight_decay: float = 1e-4, clip_grad: Optional[float] = None):
+    """Adam with torch-style coupled weight decay; lr injected per epoch.
+
+    clip_grad: optional global-norm gradient clip.  The reference never clips
+    (and ships no S-Attn training recipe at all); attention-pooled models are
+    seed-sensitive at any fixed lr, so their published-protocol runs here use
+    ``--clip_grad 1.0`` (documented in RESULTS.md).
+    """
     return optax.inject_hyperparams(
         lambda learning_rate: optax.chain(
+            *([optax.clip_by_global_norm(clip_grad)] if clip_grad else []),
             optax.add_decayed_weights(weight_decay),
             optax.scale_by_adam(),
             optax.scale_by_learning_rate(learning_rate),

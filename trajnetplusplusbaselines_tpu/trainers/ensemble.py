@@ -251,7 +251,7 @@ def main(epochs=25, argv=None):
         jnp.stack([jax.random.PRNGKey(s) for s in args.seeds])
     )
 
-    optimizer = make_optimizer(weight_decay=1e-4)
+    optimizer = make_optimizer(weight_decay=1e-4, clip_grad=args.clip_grad)
     lr_schedule = step_lr(args.lr, args.step_size)
 
     trainer = EnsembleTrainer(

@@ -356,6 +356,9 @@ def add_arguments(parser, default_epochs=25):
     parser.add_argument("--start_length", default=0, type=int)
     parser.add_argument("--batch_size", default=8, type=int)
     parser.add_argument("--lr", default=1e-3, type=float)
+    parser.add_argument("--clip_grad", default=None, type=float,
+                        help="optional global-norm gradient clip (stabilizes "
+                             "attention pooling across seeds)")
     parser.add_argument("--step_size", default=10, type=int)
     parser.add_argument("-o", "--output", default=None)
     parser.add_argument("--path", default="trajdata", help="dataset name inside data_root")
@@ -446,7 +449,7 @@ def main(epochs=25, argv=None):
     )
     params = model.init_params(jax.random.PRNGKey(args.seed))
 
-    optimizer = make_optimizer(weight_decay=1e-4)
+    optimizer = make_optimizer(weight_decay=1e-4, clip_grad=args.clip_grad)
     lr_schedule = step_lr(args.lr, args.step_size)
 
     start_epoch = 0

@@ -450,8 +450,8 @@ def main(epochs=25, argv=None):
                  d_steps=args.d_steps, g_steps=args.g_steps)
     params = model.init_params(jax.random.PRNGKey(args.seed))
 
-    g_optimizer = make_optimizer(weight_decay=1e-4)
-    d_optimizer = make_optimizer(weight_decay=1e-4)
+    g_optimizer = make_optimizer(weight_decay=1e-4, clip_grad=args.clip_grad)
+    d_optimizer = make_optimizer(weight_decay=1e-4, clip_grad=args.clip_grad)
     g_schedule = step_lr(args.lr, args.g_step_size)
     d_schedule = step_lr(args.lr, args.d_step_size)
 

@@ -340,7 +340,7 @@ def main(epochs=25, argv=None):
     )
     params = model.init_params(jax.random.PRNGKey(args.seed))
 
-    optimizer = make_optimizer(weight_decay=1e-4)
+    optimizer = make_optimizer(weight_decay=1e-4, clip_grad=args.clip_grad)
     lr_schedule = step_lr(args.lr, args.step_size)
 
     start_epoch = 0
