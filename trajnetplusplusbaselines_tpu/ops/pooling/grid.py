@@ -158,14 +158,43 @@ class GridBasedPooling:
         write_value = jnp.where(in_range[..., None], values, self.constant)
         write_valid = not_self  # every non-self neighbour writes (maybe constant@0)
 
-        # last-write-wins scatter as an ascending-j select chain: purely
-        # elementwise, so XLA fuses the whole chain into one pass over the
-        # grid — nothing [S, A, A, G]-shaped ever materializes in HBM
-        cell_iota = jnp.arange(g, dtype=write_cell.dtype)
-        grid = jnp.full((s, a, g, d), self.constant, dtype=values.dtype)
-        for j in range(a):
-            hit = (write_cell[:, :, j, None] == cell_iota) & write_valid[:, :, j, None]
-            grid = jnp.where(hit[..., None], write_value[:, :, j, None, :], grid)
+        if a <= 16:
+            # last-write-wins scatter as an ascending-j select chain: purely
+            # elementwise, so XLA fuses the whole chain into one pass over the
+            # grid — nothing [S, A, A, G]-shaped ever materializes in HBM
+            cell_iota = jnp.arange(g, dtype=write_cell.dtype)
+            grid = jnp.full((s, a, g, d), self.constant, dtype=values.dtype)
+            for j in range(a):
+                hit = (write_cell[:, :, j, None] == cell_iota) & write_valid[:, :, j, None]
+                grid = jnp.where(hit[..., None], write_value[:, :, j, None, :], grid)
+        else:
+            # large agent counts (evaluation predicts full scenes, up to 128
+            # agents): the unrolled chain would emit one [S, A, G, D] select
+            # per neighbour — a >100-op graph of ~100 MB tensors whose XLA
+            # compile is pathologically slow on the remote TPU backend.  Same
+            # semantics as two O(1)-graph ops: scatter-max of the writer
+            # index j per cell (last write == highest j), then gather that
+            # writer's value; cells nobody wrote keep the background constant.
+            j_iota = jnp.broadcast_to(
+                jnp.arange(a, dtype=jnp.int32)[None, None, :], write_cell.shape
+            )
+            j_writer = jnp.where(write_valid, j_iota, -1)
+            winner = (
+                jnp.full((s, a, g), -1, dtype=jnp.int32)
+                .at[
+                    jnp.arange(s, dtype=jnp.int32)[:, None, None],
+                    jnp.arange(a, dtype=jnp.int32)[None, :, None],
+                    write_cell,
+                ]
+                .max(j_writer)
+            )  # [S, A, G] index of the last writer, -1 where untouched
+            gathered = jnp.take_along_axis(
+                write_value, jnp.maximum(winner, 0)[..., None], axis=2
+            )  # [S, A, G, D]
+            grid = jnp.where(
+                (winner >= 0)[..., None], gathered,
+                jnp.asarray(self.constant, dtype=values.dtype),
+            )
 
         # channel-major layout matching the reference's transpose+view
         grid2d = grid.reshape(s, a, nps, nps, d)
