@@ -104,8 +104,14 @@ class BatchedPredictor:
 
         results = [None] * len(prepared)
         for bucket, indices in sorted(by_bucket.items()):
-            for start in range(0, len(indices), self.batch_scenes):
-                chunk = indices[start : start + self.batch_scenes]
+            # scale the device batch inversely with the agent bucket so the
+            # per-batch tensor volume stays roughly constant: at A=128 a
+            # 64-scene social-pooling batch cannot even be scheduled into
+            # VMEM (the remote compiler OOMs); 4 scenes compiles and runs in
+            # seconds, and big-agent scenes are rare anyway
+            bucket_batch = max(1, (self.batch_scenes * 8) // max(bucket, 8))
+            for start in range(0, len(indices), bucket_batch):
+                chunk = indices[start : start + bucket_batch]
                 xs = [prepared[i][0] for i in chunk]
                 gs = []
                 for i in chunk:
@@ -114,10 +120,10 @@ class BatchedPredictor:
                     g[: len(real)] = real
                     gs.append(g)
                 packed = batching.pack_scenes(
-                    xs, gs, bucket=bucket, pad_scenes_to=self.batch_scenes
+                    xs, gs, bucket=bucket, pad_scenes_to=bucket_batch
                 )
                 slot = np.arange(bucket)[None] < packed.num_agents[:, None]
-                fn = self._rollout(self.batch_scenes, bucket, n_predict)
+                fn = self._rollout(bucket_batch, bucket, n_predict)
 
                 self.seed += 1
                 preds, valids = fn(
