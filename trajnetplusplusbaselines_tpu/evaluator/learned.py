@@ -30,6 +30,7 @@ class BatchedPredictor:
         self.batch_scenes = batch_scenes
         self.seed = seed
         self._jit_cache = {}
+        self._stepwise_cache = {}  # per-cell jitted steps (forward_stepwise)
 
     def _rollout(self, num_scenes, num_agents, n_predict):
         """jit fn(xy, mask, goals, slot, key) -> (preds [K,T',S,A,2], valid [K,T',S,A])."""
@@ -63,6 +64,24 @@ class BatchedPredictor:
                         n_predict=n_predict, key=key, training=False, num_modes=modes,
                     )
                     return jnp.stack(pred_list), jnp.stack(valid_list)
+            elif getattr(model.pool, "embedding_arch", None) in (
+                "two_layer", "three_layer"
+            ):
+                # deep grid embeddings: the remote AOT compiler cannot
+                # schedule the scanned rollout into VMEM (S-LSTM eval
+                # compiled 30+ min then OOMed); drive jitted single steps
+                # instead — numerically identical, ~2 ms/step dispatch
+                step_cache = self._stepwise_cache
+
+                def fn(xy, mask, goals, slot_mask, key):
+                    _, pred, valid = model.forward_stepwise(
+                        params, xy, mask, goals, slot_mask,
+                        n_predict=n_predict, jit_cache=step_cache,
+                    )
+                    return pred[None], valid[None]
+
+                self._jit_cache[cache_key] = fn  # not jit: steps jit inside
+                return self._jit_cache[cache_key]
             else:
                 # deterministic LSTM: all modes identical (as in the reference)
                 def fn(xy, mask, goals, slot_mask, key):

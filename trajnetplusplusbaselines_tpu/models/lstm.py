@@ -285,6 +285,82 @@ class LSTM:
         valid = jnp.concatenate([enc_masks, dec_masks], axis=0)
         return rel_pred, pred, valid
 
+    def forward_stepwise(
+        self,
+        params: Dict,
+        observed: jnp.ndarray,
+        observed_mask: jnp.ndarray,
+        goals: jnp.ndarray,
+        slot_mask: jnp.ndarray,
+        n_predict: int = 12,
+        jit_cache: Optional[Dict] = None,
+    ):
+        """forward(n_predict=...) with Python-driven steps: one jitted *step*
+        program per cell instead of one jitted whole-rollout scan.
+
+        Numerically identical to forward (same self.step, same decoder
+        seeding); only the execution strategy differs.  Exists because the
+        remote chipless AOT compiler cannot schedule the scanned rollout of
+        two_layer grid embeddings into VMEM (S-LSTM eval: 30+ min compile,
+        then OOM), while the single step compiles in ~3 min and dispatches in
+        ~2 ms.  The evaluator routes such configs here (learned.py).
+        """
+        dt = getattr(self, "compute_dtype", None) or jnp.zeros(0).dtype
+        observed = jnp.asarray(observed, dt)
+        goals = jnp.asarray(goals, dt)
+        s, a = observed.shape[1], observed.shape[2]
+        carry = self.init_carry(s, a)
+        cache = jit_cache if jit_cache is not None else {}
+
+        def step_fn(cell_name):
+            if cell_name not in cache:
+                def one(carry, obs1, obs2, p1, p2, goals, slot_mask):
+                    carry, normal, mask = self.step(
+                        params, cell_name, carry, obs1, obs2, p1, p2, goals,
+                        slot_mask,
+                    )
+                    position = (obs2 + normal[..., :2]) * mask[..., None]
+                    return carry, normal, mask, position
+                cache[cell_name] = jax.jit(one)
+            return cache[cell_name]
+
+        enc = step_fn("encoder")
+        enc_normals, enc_masks, enc_positions = [], [], []
+        for t in range(observed.shape[0] - 1):
+            carry, normal, mask, position = enc(
+                carry, observed[t], observed[t + 1],
+                observed_mask[t], observed_mask[t + 1], goals, slot_mask,
+            )
+            enc_normals.append(normal)
+            enc_masks.append(mask)
+            enc_positions.append(position)
+
+        # decoder seeding identical to forward()
+        if observed.shape[0] == 2:
+            prim_a, prim_valid_a = observed[-1][:, 0], observed_mask[-1][:, 0]
+        else:
+            prim_a, prim_valid_a = enc_positions[-2][:, 0], enc_masks[-2][:, 0]
+        pos_a = observed[-1].at[:, 0].set(prim_a)
+        valid_a = observed_mask[-1].at[:, 0].set(prim_valid_a)
+        pos_b, valid_b = enc_positions[-1], enc_masks[-1]
+
+        dec = step_fn("decoder")
+        dec_normals, dec_masks, dec_positions = [], [], []
+        for _ in range(n_predict - 1):
+            carry, normal, mask, position = dec(
+                carry, pos_a, pos_b, valid_a, valid_b, goals, slot_mask
+            )
+            dec_normals.append(normal)
+            dec_masks.append(mask)
+            dec_positions.append(position)
+            pos_a, valid_a = pos_b, valid_b
+            pos_b, valid_b = position, mask
+
+        rel_pred = jnp.stack(enc_normals + dec_normals)
+        pred = jnp.stack(enc_positions + dec_positions)
+        valid = jnp.stack(enc_masks + dec_masks)
+        return rel_pred, pred, valid
+
 
 class LSTMPredictor:
     """Path-level prediction API mirroring LSTMPredictor.__call__
