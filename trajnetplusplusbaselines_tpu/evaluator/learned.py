@@ -42,11 +42,15 @@ class BatchedPredictor:
             model, params = self.predictor.model, self.predictor.params
             modes = self.modes
 
+            # params flow through as ARGUMENTS, never closure constants: a
+            # closed-over weight pytree is baked into the HLO, so the
+            # persistent compile cache could never hit across seeds of the
+            # same architecture (every seed's eval recompiled every bucket)
             if isinstance(model, SGAN):
                 # vmap the generator over mode keys: one compiled program for
                 # any k (the 50-mode NLL evaluation would otherwise unroll 50
                 # scans into the graph)
-                def fn(xy, mask, goals, slot_mask, key):
+                def fn(params, xy, mask, goals, slot_mask, key):
                     keys = jax.random.split(key, modes)
 
                     def one(k):
@@ -58,7 +62,7 @@ class BatchedPredictor:
 
                     return jax.vmap(one)(keys)
             elif isinstance(model, VAE):
-                def fn(xy, mask, goals, slot_mask, key):
+                def fn(params, xy, mask, goals, slot_mask, key):
                     _, pred_list, valid_list, _, _ = model.forward(
                         params, xy, mask, goals, slot_mask,
                         n_predict=n_predict, key=key, training=False, num_modes=modes,
@@ -73,7 +77,7 @@ class BatchedPredictor:
                 # instead — numerically identical, ~2 ms/step dispatch
                 step_cache = self._stepwise_cache
 
-                def fn(xy, mask, goals, slot_mask, key):
+                def fn(params, xy, mask, goals, slot_mask, key):
                     _, pred, valid = model.forward_stepwise(
                         params, xy, mask, goals, slot_mask,
                         n_predict=n_predict, jit_cache=step_cache,
@@ -84,7 +88,7 @@ class BatchedPredictor:
                 return self._jit_cache[cache_key]
             else:
                 # deterministic LSTM: all modes identical (as in the reference)
-                def fn(xy, mask, goals, slot_mask, key):
+                def fn(params, xy, mask, goals, slot_mask, key):
                     _, pred, valid = model.forward(
                         params, xy, mask, goals, slot_mask, n_predict=n_predict
                     )
@@ -146,6 +150,7 @@ class BatchedPredictor:
 
                 self.seed += 1
                 preds, valids = fn(
+                    self.predictor.params,
                     jnp.asarray(packed.xy),
                     jnp.asarray(packed.mask),
                     jnp.asarray(packed.goals),

@@ -313,8 +313,11 @@ class LSTM:
         cache = jit_cache if jit_cache is not None else {}
 
         def step_fn(cell_name):
+            # params are an argument, not a closure constant, so the compiled
+            # step is weight-independent and shared across seeds (in-process
+            # and through the persistent compile cache)
             if cell_name not in cache:
-                def one(carry, obs1, obs2, p1, p2, goals, slot_mask):
+                def one(params, carry, obs1, obs2, p1, p2, goals, slot_mask):
                     carry, normal, mask = self.step(
                         params, cell_name, carry, obs1, obs2, p1, p2, goals,
                         slot_mask,
@@ -328,7 +331,7 @@ class LSTM:
         enc_normals, enc_masks, enc_positions = [], [], []
         for t in range(observed.shape[0] - 1):
             carry, normal, mask, position = enc(
-                carry, observed[t], observed[t + 1],
+                params, carry, observed[t], observed[t + 1],
                 observed_mask[t], observed_mask[t + 1], goals, slot_mask,
             )
             enc_normals.append(normal)
@@ -348,7 +351,7 @@ class LSTM:
         dec_normals, dec_masks, dec_positions = [], [], []
         for _ in range(n_predict - 1):
             carry, normal, mask, position = dec(
-                carry, pos_a, pos_b, valid_a, valid_b, goals, slot_mask
+                params, carry, pos_a, pos_b, valid_a, valid_b, goals, slot_mask
             )
             dec_normals.append(normal)
             dec_masks.append(mask)
