@@ -15,6 +15,39 @@ import numpy as np
 
 from ..data import Reader, augmentation, batching
 
+# compiled programs shared across predictors of IDENTICAL architecture in one
+# process: evaluating 5 seeds of one config pays each (bucket, cell) compile
+# once instead of five times.  (The remote axon backend compiles server-side
+# and bypasses jax's persistent cache, so cross-process reuse is impossible —
+# in-process sharing is the lever that matters.)  Keyed by the model's config
+# fingerprint + the parameter tree shapes, so differing architectures can
+# never alias.
+_SHARED_PROGRAMS = {}
+
+
+def _config_fingerprint(obj, _depth=0):
+    """Deterministic fingerprint of primitive config attrs, recursing into
+    nested model components (pool, generator, ...)."""
+    if _depth > 3 or obj is None:
+        return repr(obj)
+    prims, nested = [], []
+    for k in sorted(vars(obj)) if hasattr(obj, "__dict__") else []:
+        v = vars(obj)[k]
+        if isinstance(v, (int, float, str, bool, tuple)) or v is None:
+            prims.append((k, v))
+        elif isinstance(v, list) and all(
+            isinstance(x, (int, float, str, bool)) for x in v
+        ):
+            prims.append((k, tuple(v)))
+        elif hasattr(v, "__dict__") and not isinstance(v, jnp.ndarray):
+            nested.append((k, _config_fingerprint(v, _depth + 1)))
+    return f"{type(obj).__name__}({prims}, {nested})"
+
+
+def _params_shape_key(params):
+    return jax.tree.map(lambda x: (getattr(x, "shape", None),
+                                   str(getattr(x, "dtype", None))), params)
+
 
 class BatchedPredictor:
     """Wraps a model predictor for whole-dataset batched rollout.
@@ -29,12 +62,25 @@ class BatchedPredictor:
         self.modes = modes
         self.batch_scenes = batch_scenes
         self.seed = seed
+        self._arch_key = None
         self._jit_cache = {}
-        self._stepwise_cache = {}  # per-cell jitted steps (forward_stepwise)
+        self._device_params = None
+
+    def _program_cache(self):
+        """The process-wide program dict for this predictor's architecture."""
+        if self._arch_key is None:
+            model = self.predictor.model
+            self._arch_key = (
+                _config_fingerprint(model),
+                str(_params_shape_key(self.predictor.params)),
+                self.modes,
+            )
+        return _SHARED_PROGRAMS.setdefault(self._arch_key, {})
 
     def _rollout(self, num_scenes, num_agents, n_predict):
-        """jit fn(xy, mask, goals, slot, key) -> (preds [K,T',S,A,2], valid [K,T',S,A])."""
+        """jit fn(params, xy, mask, goals, slot, key) -> (preds [K,T',S,A,2], valid)."""
         cache_key = (num_scenes, num_agents, n_predict)
+        self._jit_cache = self._program_cache()
         if cache_key not in self._jit_cache:
             from ..models.sgan import SGAN
             from ..models.vae import VAE
@@ -75,7 +121,7 @@ class BatchedPredictor:
                 # schedule the scanned rollout into VMEM (S-LSTM eval
                 # compiled 30+ min then OOMed); drive jitted single steps
                 # instead — numerically identical, ~2 ms/step dispatch
-                step_cache = self._stepwise_cache
+                step_cache = self._jit_cache.setdefault("stepwise", {})
 
                 def fn(params, xy, mask, goals, slot_mask, key):
                     _, pred, valid = model.forward_stepwise(
@@ -148,9 +194,14 @@ class BatchedPredictor:
                 slot = np.arange(bucket)[None] < packed.num_agents[:, None]
                 fn = self._rollout(bucket_batch, bucket, n_predict)
 
+                if self._device_params is None:
+                    # pickles hold numpy leaves; passing those to a jitted fn
+                    # re-uploads every weight on EVERY call (17 MB/step for
+                    # S-LSTM through a ~5 MB/s tunnel) — pin them on device
+                    self._device_params = jax.device_put(self.predictor.params)
                 self.seed += 1
                 preds, valids = fn(
-                    self.predictor.params,
+                    self._device_params,
                     jnp.asarray(packed.xy),
                     jnp.asarray(packed.mask),
                     jnp.asarray(packed.goals),
