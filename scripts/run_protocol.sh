@@ -2,6 +2,13 @@
 # Full published 5-seed protocol over every model family (VERDICT round-1 #2).
 # Mirrors /root/reference/scripts/interaction/*.sh + scripts/multimodal/*.sh:
 # seeds 42/10/20/30/40, 25 epochs, --augment, default hyperparams per family.
+#
+# LSTM families train all five seeds in ONE vmapped ensemble process
+# (trainers/ensemble.py, SURVEY §2.5's seed-sweep row); SGAN/VAE stay
+# sequential.  Evaluation passes all five seed checkpoints of a config to a
+# single lstm_cli invocation so compiled programs are shared in-process (the
+# axon remote AOT compiler bypasses the persistent jax cache; see CLAUDE.md).
+#
 # Resilient to the flaky TPU tunnel: every command retries up to 3 times, and
 # completed runs (checkpoint .epoch25 present) are skipped so the script can
 # resume after interruption.
@@ -13,12 +20,34 @@ SEEDS=${SEEDS:-"42 10 20 30 40"}
 
 run() {
   for attempt in 1 2 3; do
-    timeout 3600 "$@" >>"$log" 2>&1 && return 0
+    timeout 5400 "$@" >>"$log" 2>&1 && return 0
     echo "RETRY($attempt) rc=$?: $*" >>"$log"
     sleep 15
   done
   echo "FAILED: $*" >>"$log"
   return 1
+}
+
+all_done() { # prefix type -> 0 when every seed checkpoint exists
+  local prefix=$1 type=$2 seed
+  for seed in $SEEDS; do
+    local out="OUTPUT_BLOCK/$path/${prefix}_${type}_seed${seed}.pkl"
+    [ -f "$out" ] && [ -f "$out.epoch25" ] || return 1
+  done
+  return 0
+}
+
+train_ensemble() { # type extra-flags...
+  local type=$1
+  shift
+  if all_done lstm "$type"; then
+    echo "SKIP ensemble train (done): lstm_$type" >>"$log"
+    return 0
+  fi
+  echo "TRAIN ensemble lstm_$type seeds [$SEEDS] $(date +%T)" >>"$log"
+  run python -m trajnetplusplusbaselines_tpu.trainers.ensemble \
+    --type "$type" --augment --save_every 20 --seeds $SEEDS \
+    --path "$path" --data_root "$data_root" "$@"
 }
 
 train() { # prefix module type seed extra-flags...
@@ -35,35 +64,31 @@ train() { # prefix module type seed extra-flags...
     --path "$path" --data_root "$data_root" --output "seed${seed}" "$@"
 }
 
-evaluate() { # model.pkl [--modes k]
-  echo "EVAL $1 $(date +%T)" >>"$log"
+evaluate() { # prefix type [--modes k]  (all seeds in ONE process)
+  local prefix=$1 type=$2 outs=""
+  shift 2
+  local seed
+  for seed in $SEEDS; do
+    outs="$outs OUTPUT_BLOCK/$path/${prefix}_${type}_seed${seed}.pkl"
+  done
+  echo "EVAL ${prefix}_${type} seeds [$SEEDS] $(date +%T)" >>"$log"
   run python -m trajnetplusplusbaselines_tpu.evaluator.lstm_cli \
-    --path "$path" --output "$1" "${@:2}"
+    --path "$path" --output $outs "$@"
 }
 
-for seed in $SEEDS; do train lstm lstm directional "$seed"; done
-for seed in $SEEDS; do train lstm lstm vanilla "$seed"; done
-for seed in $SEEDS; do train lstm lstm nn_lstm "$seed" --neigh 4; done
-for seed in $SEEDS; do
-  train lstm lstm attentionmlp "$seed" --spatial_dim 32 --vel_dim 32 --lr 3e-4
-done
-for seed in $SEEDS; do
-  train lstm lstm social "$seed" --n 16 --embedding_arch two_layer --layer_dims 1024
-done
+train_ensemble directional
+train_ensemble vanilla
+train_ensemble nn_lstm --neigh 4
+train_ensemble attentionmlp --spatial_dim 32 --vel_dim 32 --lr 3e-4 --clip_grad 1000
+train_ensemble social --n 16 --embedding_arch two_layer --layer_dims 1024
 for seed in $SEEDS; do
   train sgan sgan directional "$seed" --k 3 --d_steps 1 --g_steps 1
 done
 for seed in $SEEDS; do train vae vae directional "$seed" --k 3; done
 
 for type in directional vanilla nn_lstm attentionmlp social; do
-  for seed in $SEEDS; do
-    evaluate "OUTPUT_BLOCK/$path/lstm_${type}_seed${seed}.pkl"
-  done
+  evaluate lstm "$type"
 done
-for seed in $SEEDS; do
-  evaluate "OUTPUT_BLOCK/$path/sgan_directional_seed${seed}.pkl" --modes 3
-done
-for seed in $SEEDS; do
-  evaluate "OUTPUT_BLOCK/$path/vae_directional_seed${seed}.pkl" --modes 3
-done
+evaluate sgan directional --modes 3
+evaluate vae directional --modes 3
 echo "PROTOCOL COMPLETE $(date +%T)" >>"$log"

@@ -52,29 +52,33 @@ def _setup(type_, a, s=5, seed=0, **kw):
                           jnp.asarray(obs2), jnp.asarray(p1), jnp.asarray(p2))
 
 
+@pytest.mark.parametrize("impl", ["scatter_max", "argmax_gather", "argmax_matmul"])
 @pytest.mark.parametrize("type_", ["occupancy", "directional", "social", "dir_social"])
 @pytest.mark.parametrize("a", [18, 33, 64])
-def test_scatter_max_equals_chain(type_, a):
+def test_vectorized_impls_equal_chain(impl, type_, a):
     kw = {"latent_dim": 16} if type_ in ("social", "dir_social") else {}
     pool, params, args = _setup(type_, a, **kw)
-    got = pool.make_grid(*args, params)          # a > 16 -> scatter-max path
+    pool.scatter_impl = impl
+    got = pool.make_grid(*args, params)
     want = _chain_grid(pool, *args, params)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_scatter_max_gradients_match_chain():
+@pytest.mark.parametrize("impl", ["scatter_max", "argmax_gather", "argmax_matmul"])
+def test_vectorized_gradients_match_chain(impl):
     pool, params, args = _setup("directional", 24, seed=3)
+    pool.scatter_impl = impl
     hidden, obs1, obs2, p1, p2 = args
 
-    def loss_scatter(o2):
+    def loss_vectorized(o2):
         return jnp.sum(pool.make_grid(hidden, obs1, o2, p1, p2, params) ** 2)
 
     def loss_chain(o2):
         return jnp.sum(_chain_grid(pool, hidden, obs1, o2, p1, p2, params) ** 2)
 
-    g_scatter = jax.grad(loss_scatter)(obs2)
+    g_vectorized = jax.grad(loss_vectorized)(obs2)
     g_chain = jax.grad(loss_chain)(obs2)
-    np.testing.assert_allclose(np.asarray(g_scatter), np.asarray(g_chain),
+    np.testing.assert_allclose(np.asarray(g_vectorized), np.asarray(g_chain),
                                atol=1e-12, rtol=1e-12)
 
 

@@ -59,9 +59,16 @@ def get_predictions(predictors: Dict[str, Callable], args) -> None:
             shutil.rmtree(tmp_dir)
         os.makedirs(tmp_dir, exist_ok=True)
 
+        # goal files load only for predictors that need them (per-predictor
+        # flag, like the reference's per-model goal_flag resolution); a mixed
+        # goal/non-goal model list must not fail on missing goal files
+        goal_flag = getattr(
+            predictor, "goal_flag", getattr(args, "goal_flag", False)
+        )
+
         for dataset in datasets:
             dataset_name, scenes, scene_goals = load_test_datasets(
-                dataset, getattr(args, "goal_flag", False), args
+                dataset, goal_flag, args
             )
             processed = [preprocess_test(s, args.obs_length) for _, _, s in scenes]
             if hasattr(predictor, "predict_dataset"):

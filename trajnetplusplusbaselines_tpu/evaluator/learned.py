@@ -62,6 +62,12 @@ class BatchedPredictor:
         self.modes = modes
         self.batch_scenes = batch_scenes
         self.seed = seed
+        # per-predictor goal requirement (the reference resolves goal_flag per
+        # model, lstm/trajnet_evaluator.py:52): only goal-conditioned models
+        # make the driver load test goal files
+        self.goal_flag = bool(
+            getattr(getattr(predictor, "model", None), "goal_flag", False)
+        )
         self._arch_key = None
         self._jit_cache = {}
         self._device_params = None

@@ -52,15 +52,12 @@ def main(argv=None):
     os.makedirs(args.path, exist_ok=True)
 
     predictors = {}
-    args.goal_flag = False
     for model_path in args.output:
         name = model_path.split("/")[-1].replace(".pkl", "") + "_modes" + str(args.modes)
         predictor = load_predictor(model_path)
-        # goal-conditioned models need the test goal files at prediction time
-        # (mirrors /root/reference/trajnetbaselines/lstm/trajnet_evaluator.py:52)
-        args.goal_flag = args.goal_flag or getattr(
-            getattr(predictor, "model", None), "goal_flag", False
-        )
+        # goal-conditioned models need the test goal files at prediction time;
+        # BatchedPredictor carries the flag per model (mirrors
+        # /root/reference/trajnetbaselines/lstm/trajnet_evaluator.py:52)
         predictors[name] = BatchedPredictor(
             predictor, modes=args.modes, batch_scenes=args.batch_scenes
         )

@@ -115,6 +115,24 @@ class ResidentDataset:
                 "num_agents": jnp.asarray(num_agents),
             }
 
+    def place(self, mesh) -> None:
+        """Replicate the resident arrays over a device mesh.
+
+        Multi-chip training shards the per-step *batch* axis over the mesh's
+        'data' axis (see Trainer._resident_epoch); the resident scene store
+        stays replicated so the per-batch scene gathers ``xs[i]`` remain
+        device-local (the whole dataset is a few MB — scenes are short — so
+        replication costs nothing and avoids an all-to-all per batch).
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(mesh, P())
+        for key, data in self.buckets.items():
+            self.buckets[key] = {
+                k: jax.device_put(v, replicated) for k, v in data.items()
+            }
+
     def epoch_plan(self, batch_size: int, rng: np.random.Generator,
                    shuffle: bool = True):
         """Per bucket: (idx [nb, S] int32, valid [nb, S] bool); nb is constant

@@ -48,7 +48,8 @@ from .lstm import add_arguments
 class EnsembleTrainer:
     def __init__(self, model, stacked_params, optimizer, lr_schedule, seeds,
                  criterion="pred", batch_size=8, obs_length=9, pred_length=12,
-                 augment=True, augment_noise=False, save_every=1, val_flag=True):
+                 augment=True, augment_noise=False, save_every=1, val_flag=True,
+                 mesh=None):
         self.model = model
         self.params = stacked_params  # leaves have leading [E] axis
         self.optimizer = optimizer
@@ -71,6 +72,15 @@ class EnsembleTrainer:
         self.keys = jnp.stack([jax.random.PRNGKey(s + 1) for s in self.seeds])
         self._resident = {}
         self._runner_cache = {}
+
+        # multi-chip: shard each step's scene-batch axis over 'data' exactly
+        # like the sequential trainer (members stay vmapped on every device;
+        # per-member grads psum over ICI).  TP is not wired for the stacked
+        # [E, ...] parameter layout.
+        self.mesh = mesh
+        if mesh is not None:
+            assert mesh.shape["model"] == 1, "ensemble trainer supports --dp only"
+            assert batch_size % mesh.shape["data"] == 0
 
     # ------------------------------------------------------------- step core
     def _loss_fn(self, params, xy, mask, goals, slot, scene):
@@ -113,7 +123,10 @@ class EnsembleTrainer:
         # key by id but pin the dataset with a strong reference so a freed
         # object's reused address can never alias a stale cache entry
         if id(scenes) not in self._resident:
-            self._resident[id(scenes)] = (scenes, ResidentDataset(scenes))
+            resident = ResidentDataset(scenes)
+            if self.mesh is not None:
+                resident.place(self.mesh)
+            self._resident[id(scenes)] = (scenes, resident)
         return self._resident[id(scenes)][1]
 
     def _member_plans(self, resident, shuffle):
@@ -148,9 +161,16 @@ class EnsembleTrainer:
             data = resident.buckets[bkey]
             split = jax.vmap(jax.random.split)(self.keys)
             self.keys, subs = split[:, 0], split[:, 1]
+            idx_dev, valid_dev = jnp.asarray(idx), jnp.asarray(valid)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh = NamedSharding(self.mesh, P(None, None, "data"))
+                idx_dev = jax.device_put(idx_dev, sh)
+                valid_dev = jax.device_put(valid_dev, sh)
             carry, out = self._runner_cache[rkey](
                 carry, data["xs"], data["mask"], data["goals"],
-                data["num_agents"], jnp.asarray(idx), jnp.asarray(valid), subs,
+                data["num_agents"], idx_dev, valid_dev, subs,
             )
             outs.append(out)  # [E, nb]
         return carry, outs
@@ -203,9 +223,19 @@ class EnsembleTrainer:
         })
 
     def save_checkpoints(self, epoch, filenames):
+        # per-member state matches Trainer.save_checkpoint's dict exactly
+        # (incl. the opt_state slice), so ensemble-produced .epoch<k> files
+        # resume under the sequential trainer's --load_full_state
+        lr = float(self.lr_schedule(max(epoch - 1, 0)))
         for i, filename in enumerate(filenames):
             member = jax.tree.map(lambda x: np.asarray(x[i]), self.params)
-            state = {"epoch": epoch, "params": member}
+            opt_member = jax.tree.map(lambda x: np.asarray(x)[i], self.opt_state)
+            state = {
+                "epoch": epoch,
+                "params": member,
+                "opt_state_hyper": {"learning_rate": lr},
+                "opt_state": opt_member,
+            }
             LSTMPredictor(self.model, member).save(state, filename)
 
 

@@ -48,7 +48,7 @@ class Trainer:
                  batch_size=8, obs_length=9, pred_length=12, augment=True,
                  normalize_scene=False, save_every=1, start_length=0,
                  obs_dropout=False, augment_noise=False, val_flag=True,
-                 col_wt=0.0, col_distance=0.2, seed=42):
+                 col_wt=0.0, col_distance=0.2, seed=42, mesh=None):
         self.model = model
         self.params = params
         self.optimizer = optimizer
@@ -76,6 +76,20 @@ class Trainer:
         self._train_step_cache = {}
         self._resident = {}
         self._runner_cache = {}
+
+        # multi-chip: a (data, model) jax.sharding.Mesh.  The resident-epoch
+        # path shards each step's scene-batch axis over 'data' (gradients
+        # psum over ICI) and TP-shards wide weight matrices over 'model';
+        # sequential-SGD semantics and the batch plan are unchanged, so the
+        # sharded run reproduces the single-device parameters
+        # (tests/test_parallel.py::test_sharded_resident_epoch_*).
+        self.mesh = mesh
+        self._mesh_placed = False
+        if mesh is not None:
+            assert batch_size % mesh.shape["data"] == 0, (
+                f"batch_size {batch_size} must divide over data axis "
+                f"{mesh.shape['data']}"
+            )
 
     # ------------------------------------------------------------- jit steps
     def _loss_from_outputs(self, rel, pred, valid, xy, mask, scene_mask):
@@ -150,8 +164,31 @@ class Trainer:
         # key by id but pin the dataset with a strong reference so a freed
         # object's reused address can never alias a stale cache entry
         if id(scenes) not in self._resident:
-            self._resident[id(scenes)] = (scenes, ResidentDataset(scenes))
+            resident = ResidentDataset(scenes)
+            if self.mesh is not None:
+                resident.place(self.mesh)
+            self._resident[id(scenes)] = (scenes, resident)
         return self._resident[id(scenes)][1]
+
+    def _place_carry(self):
+        """One-time mesh placement of params/opt_state (TP rule + replication)."""
+        if self.mesh is None or self._mesh_placed:
+            return
+        from ..parallel.mesh import shard_params
+
+        self.params = shard_params(self.mesh, self.params)
+        self.opt_state = shard_params(self.mesh, self.opt_state)
+        self._mesh_placed = True
+
+    def _place_plan(self, idx, valid):
+        """Shard the per-batch scene axis [nb, S] over the mesh's data axis."""
+        idx, valid = jnp.asarray(idx), jnp.asarray(valid)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            idx, valid = jax.device_put(idx, sh), jax.device_put(valid, sh)
+        return idx, valid
 
     def _train_step_core(self):
         def loss_fn(params, xy, mask, goals, slot_mask, scene_mask):
@@ -208,9 +245,10 @@ class Trainer:
                 )
             data = resident.buckets[bkey]
             self.key, sub = jax.random.split(self.key)
+            idx_dev, valid_dev = self._place_plan(idx, valid)
             carry, out = self._runner_cache[rkey](
                 carry, data["xs"], data["mask"], data["goals"],
-                data["num_agents"], jnp.asarray(idx), jnp.asarray(valid), sub,
+                data["num_agents"], idx_dev, valid_dev, sub,
             )
             outs.append(out)
         return carry, outs
@@ -228,6 +266,12 @@ class Trainer:
 
         ``run(runner, stacked_arrays)`` performs the dispatch and returns a
         device array of per-batch losses for the chunk.
+
+        Ordering note (mirrors the ResidentDataset caveat): batches are
+        grouped by static shape key (scenes, agents, start_length) before
+        scanning, so same-shape batches train consecutively rather than in
+        the shuffled stream order.  Batch *contents* still reshuffle every
+        epoch; only the visit order of shape groups is deterministic.
         """
         if start_length is None:
             start_length = self.start_length
@@ -289,6 +333,7 @@ class Trainer:
 
         if not self.obs_dropout:
             # resident fast path: whole epoch in one dispatch per bucket
+            self._place_carry()
             (self.params, self.opt_state), loss_parts = self._resident_epoch(
                 scenes, "train", (self.params, self.opt_state),
                 augment=self.augment, augment_noise=self.augment_noise,
@@ -333,6 +378,7 @@ class Trainer:
     def val(self, scenes: SceneDataset, epoch: int):
         eval_start = time.time()
 
+        self._place_carry()
         self.params, parts = self._resident_epoch(
             scenes, "val", self.params, shuffle=False
         )
@@ -377,6 +423,20 @@ def add_arguments(parser, default_epochs=25):
     parser.add_argument("--augment_noise", action="store_true")
     parser.add_argument("--obs_dropout", action="store_true")
 
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the axon TPU plugin "
+                             "ignores JAX_PLATFORMS; pair with "
+                             "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                             "for a virtual multi-device mesh)")
+
+    parallel = parser.add_argument_group("parallelism")
+    parallel.add_argument("--dp", type=int, default=1,
+                          help="data-parallel ways: shard each batch's scene "
+                               "axis over the mesh 'data' axis")
+    parallel.add_argument("--tp", type=int, default=1,
+                          help="tensor-parallel ways: shard wide weight "
+                               "matrices over the mesh 'model' axis")
+
     pretrain = parser.add_argument_group("pretraining")
     pretrain.add_argument("--load-state", default=None)
     pretrain.add_argument("--load-full-state", default=None)
@@ -411,6 +471,9 @@ def main(epochs=25, argv=None):
     parser = argparse.ArgumentParser()
     add_arguments(parser, epochs)
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     random.seed(args.seed)
     np.random.seed(args.seed)
@@ -463,6 +526,15 @@ def main(epochs=25, argv=None):
             if skipped:
                 print("nonstrict load skipped:", skipped)
 
+    mesh = None
+    if args.dp * args.tp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=args.dp * args.tp, dp=args.dp, tp=args.tp)
+        if args.obs_dropout:
+            raise SystemExit("--obs_dropout uses the chunked host path, which "
+                             "is single-device; drop --dp/--tp")
+
     trainer = Trainer(
         model, params, optimizer, lr_schedule, criterion=args.loss,
         batch_size=args.batch_size, obs_length=args.obs_length,
@@ -470,7 +542,7 @@ def main(epochs=25, argv=None):
         normalize_scene=args.normalize_scene, save_every=args.save_every,
         start_length=args.start_length, obs_dropout=args.obs_dropout,
         augment_noise=args.augment_noise, val_flag=val_flag, col_wt=args.col_wt,
-        col_distance=args.col_distance, seed=args.seed,
+        col_distance=args.col_distance, seed=args.seed, mesh=mesh,
     )
 
     if args.load_full_state:
