@@ -19,6 +19,39 @@ REFERENCE_SCENES_PER_SEC = 114.85  # torch CPU, batch=8, A=8, D-LSTM rollout
 # (scripts/measure_ref_train_baseline.py on this container)
 REFERENCE_TRAIN_SCENES_PER_SEC = 46.38
 
+# TPU v5e single-chip peaks (public spec): 197 TFLOP/s bf16, ~49 TFLOP/s f32
+# (MXU passes), 819 GB/s HBM.
+V5E_PEAK_FLOPS = {"bfloat16": 197e12, "float32": 49e12}
+V5E_HBM_BYTES_PER_SEC = 819e9
+
+
+def dlstm_cost_model(a, s, n=12, d=2, h=128, e=64, p=256, steps=20,
+                     dtype_bytes=4):
+    """Analytic flops/bytes for one D-LSTM rollout (per scene, all steps).
+
+    Matmul flops per agent-step: input embedding (2 x e), grid-embedding MLP
+    (n^2*d x p), LSTM gates ((e+p) x 4h + h x 4h), Gaussian head (h x 5);
+    plus the pooling contraction (one-hot [G,A]x[A,d] for A>16, select chain
+    otherwise — counted as A*G*d MACs either way).  Bytes per agent-step:
+    carry read+write (2*2h), pooled grid, pool/embed activations, plus the
+    parameter stream amortized over the S*A agents sharing each step.
+    Deliberately a lower bound on fusion quality: XLA keeps most of these in
+    VMEM, so 'bytes' is the un-fused HBM-traffic ceiling.
+    """
+    g = n * n
+    grid_dim = g * d
+    matmul_flops = 2 * (
+        2 * e + grid_dim * p + (e + p) * 4 * h + h * 4 * h + h * 5
+    )
+    pool_flops = 2 * a * g * d + a * g  # contraction + winner reduce
+    flops_scene = steps * a * (matmul_flops + pool_flops)
+
+    params = 2 * e + grid_dim * p + (e + p) * 4 * h + h * 4 * h + h * 5
+    act_bytes = dtype_bytes * (4 * h + grid_dim + p + e + 7)
+    weight_bytes = params * dtype_bytes / max(s * a, 1)
+    bytes_scene = steps * a * (act_bytes + weight_bytes)
+    return flops_scene, bytes_scene
+
 
 def train_throughput():
     """Scenes/sec trained: the resident-epoch scan exactly as the trainers
@@ -139,6 +172,10 @@ def main():
     dt = time.perf_counter() - t0
 
     scenes_per_sec = s * iters / dt
+    flops_scene, bytes_scene = dlstm_cost_model(a, s, dtype_bytes=2)
+    achieved_flops = scenes_per_sec * flops_scene
+    mfu_pct = 100.0 * achieved_flops / V5E_PEAK_FLOPS["bfloat16"]
+    hbm_pct = 100.0 * scenes_per_sec * bytes_scene / V5E_HBM_BYTES_PER_SEC
     trained_per_sec = train_throughput()
     print(
         json.dumps(
@@ -151,6 +188,8 @@ def main():
                 "train_vs_baseline": round(
                     trained_per_sec / REFERENCE_TRAIN_SCENES_PER_SEC, 2
                 ),
+                "mfu_pct": round(mfu_pct, 2),
+                "hbm_ceiling_pct": round(hbm_pct, 1),
             }
         )
     )

@@ -52,7 +52,7 @@ def _setup(type_, a, s=5, seed=0, **kw):
                           jnp.asarray(obs2), jnp.asarray(p1), jnp.asarray(p2))
 
 
-@pytest.mark.parametrize("impl", ["scatter_max", "argmax_gather", "argmax_matmul"])
+@pytest.mark.parametrize("impl", ["scatter_max", "argmax_gather", "argmax_matmul", "argmax_sum"])
 @pytest.mark.parametrize("type_", ["occupancy", "directional", "social", "dir_social"])
 @pytest.mark.parametrize("a", [18, 33, 64])
 def test_vectorized_impls_equal_chain(impl, type_, a):
@@ -64,7 +64,7 @@ def test_vectorized_impls_equal_chain(impl, type_, a):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-@pytest.mark.parametrize("impl", ["scatter_max", "argmax_gather", "argmax_matmul"])
+@pytest.mark.parametrize("impl", ["scatter_max", "argmax_gather", "argmax_matmul", "argmax_sum"])
 def test_vectorized_gradients_match_chain(impl):
     pool, params, args = _setup("directional", 24, seed=3)
     pool.scatter_impl = impl

@@ -41,3 +41,17 @@ def test_stepwise_matches_scan(type_, kw):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-12, rtol=0)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     assert set(cache) == {"encoder", "decoder"}  # one jitted step per cell
+
+    for segment in (4, 5):
+        seg_cache = {}
+        r3, p3, v3 = model.forward_segmented(
+            params, xy, mask, goals, slot, n_predict=12, segment=segment,
+            jit_cache=seg_cache,
+        )
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r3), atol=1e-12, rtol=0)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p3), atol=1e-12, rtol=0)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v3))
+        # one program per (cell, segment-length): 8 enc transitions and 11
+        # dec steps decompose into at most two lengths each
+        assert all(key[0] in ("enc", "dec") for key in seg_cache)
+        assert len(seg_cache) <= 4

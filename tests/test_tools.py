@@ -50,6 +50,28 @@ def test_interaction_type_codes():
     assert 2 in interactions.interaction_type(_scene(primary, neigh))
 
 
+def test_socialforce_eval_interaction_filter():
+    """--interactions keeps CA neighbours, drops distant ones (the reference's
+    commented-out filter, socialforce_eval.py:36-40)."""
+    from trajnetplusplusbaselines_tpu.data import TrackRow
+    from trajnetplusplusbaselines_tpu.models.classical.socialforce_eval import (
+        filter_interacting_neighbours,
+    )
+
+    t = np.arange(21, dtype=float)
+
+    def track(ped, xs, ys):
+        return [TrackRow(int(f * 10), ped, float(x), float(y), 0)
+                for f, x, y in zip(t, xs, ys)]
+
+    primary = track(1, np.zeros(21), t * 0.4)
+    headon = track(2, np.zeros(21) + 0.1, 16.0 - t * 0.4)
+    far = track(3, np.zeros(21) + 50.0, np.zeros(21) + 50.0)
+
+    kept = filter_interacting_neighbours([primary, headon, far])
+    assert [p[0].pedestrian for p in kept] == [1, 2]
+
+
 def test_create_validation_split(tmp_path):
     root = make_synthetic_dataset(os.path.join(str(tmp_path), "src", "synthset"))
     create_validation.main([

@@ -124,19 +124,21 @@ class BatchedPredictor:
                 "two_layer", "three_layer"
             ):
                 # deep grid embeddings: the remote AOT compiler cannot
-                # schedule the scanned rollout into VMEM (S-LSTM eval
-                # compiled 30+ min then OOMed); drive jitted single steps
-                # instead — numerically identical, ~2 ms/step dispatch
-                step_cache = self._jit_cache.setdefault("stepwise", {})
+                # schedule the FULL scanned rollout into VMEM (S-LSTM eval
+                # compiled 30+ min then OOMed); drive jitted 4-step scan
+                # segments instead — numerically identical to forward
+                # (tests/test_stepwise.py) at ~5x fewer tunnel dispatches
+                # than the round-2 single-step fallback
+                step_cache = self._jit_cache.setdefault("segmented", {})
 
                 def fn(params, xy, mask, goals, slot_mask, key):
-                    _, pred, valid = model.forward_stepwise(
+                    _, pred, valid = model.forward_segmented(
                         params, xy, mask, goals, slot_mask,
-                        n_predict=n_predict, jit_cache=step_cache,
+                        n_predict=n_predict, segment=4, jit_cache=step_cache,
                     )
                     return pred[None], valid[None]
 
-                self._jit_cache[cache_key] = fn  # not jit: steps jit inside
+                self._jit_cache[cache_key] = fn  # not jit: segments jit inside
                 return self._jit_cache[cache_key]
             else:
                 # deterministic LSTM: all modes identical (as in the reference)

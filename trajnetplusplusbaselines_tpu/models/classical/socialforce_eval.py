@@ -12,11 +12,26 @@ Usage:
 
 import argparse
 import pickle
+from itertools import compress
 from typing import Optional
 
-from ...data import Reader, TrackRow
+from ...data import Reader, TrackRow, interactions
 from ...metrics import trajectory as tmetrics
 from . import kalman
+
+
+def filter_interacting_neighbours(paths, obs_length=9, pred_length=12):
+    """Keep only collision-avoidance neighbours of the primary.
+
+    End-to-end consumer of data/interactions.py: the reference keeps this
+    filter commented out (socialforce_eval.py:36-40 imports
+    trajnetplusplustools.interactions.collision_avoidance and selects
+    ``[paths[0]] + compress(neigh_paths, interaction_index)``); here it is
+    an opt-in ``--interactions`` mode with the identical semantics.
+    """
+    xy = Reader.paths_to_xy(paths)[: obs_length + pred_length]
+    keep = interactions.collision_avoidance(xy, obs_length=obs_length)
+    return [paths[0]] + list(compress(paths[1:], keep))
 
 
 class Evaluator:
@@ -33,6 +48,10 @@ class Evaluator:
         average = final = 0.0
 
         for paths in self.scenes:
+            if self.args is not None and getattr(self.args, "interactions", False):
+                paths = filter_interacting_neighbours(
+                    paths, self.args.obs_length, self.args.pred_length
+                )
             if "kf" in name:
                 prediction, _ = predictor(
                     paths, n_predict=self.args.pred_length, obs_length=self.args.obs_length
@@ -105,6 +124,10 @@ def main(argv=None):
     parser.add_argument("--simulator", default="all", choices=("all", "orca", "sf", "kalman", "kf"))
     parser.add_argument("--sample", default=None, type=float,
                         help="scene sample ratio for quick sweeps")
+    parser.add_argument("--interactions", action="store_true",
+                        help="keep only collision-avoidance neighbours "
+                             "(data/interactions.py; the reference's "
+                             "commented-out filter)")
     # social force params
     parser.add_argument("--tau", default=0.5, type=float)
     parser.add_argument("--vo", default=2.1, type=float)

@@ -364,6 +364,118 @@ class LSTM:
         valid = jnp.stack(enc_masks + dec_masks)
         return rel_pred, pred, valid
 
+    def forward_segmented(
+        self,
+        params: Dict,
+        observed: jnp.ndarray,
+        observed_mask: jnp.ndarray,
+        goals: jnp.ndarray,
+        slot_mask: jnp.ndarray,
+        n_predict: int = 12,
+        segment: int = 4,
+        jit_cache: Optional[Dict] = None,
+    ):
+        """forward(n_predict=...) in jitted multi-step segments.
+
+        Middle ground between the whole-rollout scan (which the remote
+        chipless AOT compiler cannot schedule into VMEM for two_layer grid
+        embeddings) and forward_stepwise (20 host-driven dispatches at
+        ~20-40 ms tunnel latency each): each compiled program scans
+        ``segment`` steps, cutting dispatches ~segment-fold while staying
+        ~segment/20 the size of the full rollout for the AOT scheduler.
+        Numerically identical to forward (same self.step, same decoder
+        seeding, same scan body as encode/decode).
+        """
+        dt = getattr(self, "compute_dtype", None) or jnp.zeros(0).dtype
+        observed = jnp.asarray(observed, dt)
+        goals = jnp.asarray(goals, dt)
+        s, a = observed.shape[1], observed.shape[2]
+        carry = self.init_carry(s, a)
+        cache = jit_cache if jit_cache is not None else {}
+
+        def enc_fn(k):
+            if ("enc", k) not in cache:
+                def run(params, carry, obs, mask, goals, slot_mask):
+                    def body(c, inp):
+                        o1, o2, m1, m2 = inp
+                        c, normal, msk = self.step(
+                            params, "encoder", c, o1, o2, m1, m2, goals, slot_mask
+                        )
+                        pos = (o2 + normal[..., :2]) * msk[..., None]
+                        return c, (normal, msk, pos)
+
+                    c, outs = jax.lax.scan(
+                        body, carry, (obs[:-1], obs[1:], mask[:-1], mask[1:])
+                    )
+                    return c, outs
+                cache[("enc", k)] = jax.jit(run)
+            return cache[("enc", k)]
+
+        def dec_fn(k):
+            if ("dec", k) not in cache:
+                def run(params, carry, pos_a, valid_a, pos_b, valid_b, goals,
+                        slot_mask):
+                    def body(state, _):
+                        c, pa, va, pb, vb = state
+                        c, normal, msk = self.step(
+                            params, "decoder", c, pa, pb, va, vb, goals, slot_mask
+                        )
+                        new_pos = (pb + normal[..., :2]) * msk[..., None]
+                        return (c, pb, vb, new_pos, msk), (normal, msk, new_pos)
+
+                    state, outs = jax.lax.scan(
+                        body, (carry, pos_a, valid_a, pos_b, valid_b), None,
+                        length=k,
+                    )
+                    return state, outs
+                cache[("dec", k)] = jax.jit(run)
+            return cache[("dec", k)]
+
+        enc_normals, enc_masks, enc_positions = [], [], []
+        t = 0
+        n_trans = observed.shape[0] - 1
+        while t < n_trans:
+            k = min(segment, n_trans - t)
+            carry, (normals, masks, positions) = enc_fn(k)(
+                params, carry, observed[t : t + k + 1],
+                observed_mask[t : t + k + 1], goals, slot_mask,
+            )
+            enc_normals.append(normals)
+            enc_masks.append(masks)
+            enc_positions.append(positions)
+            t += k
+        enc_normals = jnp.concatenate(enc_normals)
+        enc_masks = jnp.concatenate(enc_masks)
+        enc_positions = jnp.concatenate(enc_positions)
+
+        # decoder seeding identical to forward()
+        if observed.shape[0] == 2:
+            prim_a, prim_valid_a = observed[-1][:, 0], observed_mask[-1][:, 0]
+        else:
+            prim_a, prim_valid_a = enc_positions[-2][:, 0], enc_masks[-2][:, 0]
+        pos_a = observed[-1].at[:, 0].set(prim_a)
+        valid_a = observed_mask[-1].at[:, 0].set(prim_valid_a)
+        pos_b, valid_b = enc_positions[-1], enc_masks[-1]
+
+        dec_normals, dec_masks, dec_positions = [], [], []
+        t = 0
+        n_steps = n_predict - 1
+        while t < n_steps:
+            k = min(segment, n_steps - t)
+            state, (normals, masks, positions) = dec_fn(k)(
+                params, carry, pos_a, valid_a, pos_b, valid_b, goals, slot_mask
+            )
+            carry, pos_a, valid_a, pos_b, valid_b = state
+            dec_normals.append(normals)
+            dec_masks.append(masks)
+            dec_positions.append(positions)
+            t += k
+
+        rel_pred = jnp.concatenate([enc_normals] + dec_normals)
+        pred = jnp.concatenate([enc_positions] + dec_positions)
+        valid = jnp.concatenate([enc_masks] + dec_masks)
+        return rel_pred, pred, valid
+
 
 class LSTMPredictor:
     """Path-level prediction API mirroring LSTMPredictor.__call__

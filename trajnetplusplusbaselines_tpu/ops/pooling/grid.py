@@ -128,11 +128,37 @@ def _lastwrite_argmax_matmul(write_cell, write_value, write_valid, constant, g):
     )
 
 
+def _lastwrite_argmax_sum(write_cell, write_value, write_valid, constant, g):
+    """Fused winner reduction + fused select-sum for the values.
+
+    Like _lastwrite_argmax_matmul but the one-hot contraction is a masked
+    sum-reduction over j instead of an einsum: XLA fuses the broadcast
+    compare and select into the reduce loop, so the [S, A, A, G(, D)]
+    intermediates never materialize in HBM (the einsum's one-hot operand is
+    ~1 GB per step at A=32, S=2048 — pure HBM-bandwidth waste for a D=2
+    contraction the MXU can't fill anyway).  Exact: each (s,i,g,d) sums one
+    surviving value and zeros."""
+    winner = _winner_reduce(write_cell, write_valid, g)
+    a = write_cell.shape[2]
+    j_iota = jnp.arange(a, dtype=jnp.int32)
+    eq = winner[:, :, None, :] == j_iota[None, None, :, None]  # [S,A,A,G]
+    grid = jnp.sum(
+        jnp.where(eq[..., None], write_value[:, :, :, None, :],
+                  jnp.zeros((), dtype=write_value.dtype)),
+        axis=2,
+    )
+    return jnp.where(
+        (winner >= 0)[..., None], grid,
+        jnp.asarray(constant, dtype=write_value.dtype),
+    )
+
+
 _SCATTER_IMPLS = {
     "chain": _lastwrite_chain,
     "scatter_max": _lastwrite_scatter_max,
     "argmax_gather": _lastwrite_argmax_gather,
     "argmax_matmul": _lastwrite_argmax_matmul,
+    "argmax_sum": _lastwrite_argmax_sum,
 }
 
 
@@ -268,16 +294,26 @@ class GridBasedPooling:
         write_value = jnp.where(in_range[..., None], values, self.constant)
         write_valid = not_self  # every non-self neighbour writes (maybe constant@0)
 
-        # Implementation choice (all bit-identical, tests/test_grid_scatter.py):
-        # the select chain fuses best for small A but its graph grows O(A)
-        # (compile blows up past ~16); the argmax-reduce + one-hot-matmul form
-        # is O(1)-graph and scatter/gather-free — the winner reduction fuses
-        # into a VPU loop and the value selection is an MXU [G,A]x[A,D]
-        # batched contraction.  Measured D-LSTM rollout on a v5e chip
-        # (scripts/bench_grid_scatter.py): A=32 went 908 -> 20,990 scenes/s
-        # vs the old runtime scatter-max (TPU serializes scatter updates, and
-        # take_along_axis gathers are nearly as bad: 1.1k scenes/s).
-        impl = self.scatter_impl or ("chain" if a <= 16 else "argmax_matmul")
+        # Implementation choice (all bit-identical, tests/test_grid_scatter.py),
+        # picked per A from the v5e rollout sweep (scripts/bench_grid_scatter.py):
+        # - chain (A<=16): unrolled selects fuse best, but the graph grows
+        #   O(A) and its compile blows up past ~16;
+        # - argmax_sum (17..64): fused winner reduction + fused select-sum,
+        #   O(1)-graph, no scatter/gather, nothing [S,A,A,G]-shaped in HBM.
+        #   A=32: 26,048 scenes/s vs 908 for the old runtime scatter-max
+        #   (TPU serializes scatter updates; take_along_axis gathers are
+        #   nearly as bad at 1.1k);
+        # - argmax_matmul (A>64): the j-contraction is wide enough that the
+        #   MXU one-hot matmul beats the VPU select-sum (A=128: 1,899 vs
+        #   1,521 scenes/s).
+        if self.scatter_impl:
+            impl = self.scatter_impl
+        elif a <= 16:
+            impl = "chain"
+        elif a <= 64:
+            impl = "argmax_sum"
+        else:
+            impl = "argmax_matmul"
         grid = _SCATTER_IMPLS[impl](write_cell, write_value, write_valid, self.constant, g)
 
         # channel-major layout matching the reference's transpose+view

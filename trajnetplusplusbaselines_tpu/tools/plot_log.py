@@ -75,6 +75,22 @@ def plots(log_file: str, output_prefix: str = None):
         fig.savefig(prefix + ".lr.png", dpi=120, bbox_inches="tight")
         plt.close(fig)
 
+    # per-interval batch time + host data time (reference plot_log.py:20-84)
+    if records["train"]:
+        fig, ax = plt.subplots()
+        ax.plot([r["time"] for r in records["train"]], label="batch time")
+        if any("data_time" in r for r in records["train"]):
+            ax.plot(
+                [r.get("data_time", float("nan")) for r in records["train"]],
+                label="data time",
+            )
+        ax.set_xlabel("log interval")
+        ax.set_ylabel("time [s]")
+        ax.set_yscale("log")
+        ax.legend()
+        fig.savefig(prefix + ".time.png", dpi=120, bbox_inches="tight")
+        plt.close(fig)
+
     # epoch wall time
     if records["train-epoch"]:
         fig, ax = plt.subplots()

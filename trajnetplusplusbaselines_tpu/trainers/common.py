@@ -338,7 +338,9 @@ def make_optimizer(weight_decay: float = 1e-4, clip_grad: Optional[float] = None
     clip_grad: optional global-norm gradient clip.  The reference never clips
     (and ships no S-Attn training recipe at all); attention-pooled models are
     seed-sensitive at any fixed lr, so their published-protocol runs here use
-    ``--clip_grad 1.0`` (documented in RESULTS.md).
+    ``--lr 3e-4 --clip_grad 1000`` — a loose clip that only catches the rare
+    pathological step (healthy step norms are 30-900; a tight 1.0 clip
+    strangles learning to ADE ~0.82).  Mechanism analysis in RESULTS.md.
     """
     return optax.inject_hyperparams(
         lambda learning_rate: optax.chain(

@@ -233,7 +233,11 @@ class Trainer:
                         augment_noise=False, shuffle=True):
         """Run one epoch over the resident buckets; returns (carry, outs list)."""
         resident = self._get_resident(scenes)
+        t0 = time.time()
         plan = resident.epoch_plan(self.batch_size, self.rng, shuffle=shuffle)
+        # host-side data work per epoch (the reference's per-batch data_time
+        # analogue: here the only host data work is the shuffled batch plan)
+        self._host_data_time = time.time() - t0
         outs = []
         for bkey, (idx, valid) in plan.items():
             rkey = (mode, bkey, idx.shape[0])
@@ -358,12 +362,14 @@ class Trainer:
         per_batch = elapsed / max(n_batches, 1)
 
         # periodic train records reconstructed from the device loss trace
+        data_time = getattr(self, "_host_data_time", 0.0) / max(n_batches, 1)
         for b in range(10, n_batches + 1, 10):
             self.log.info({
                 "type": "train",
                 "epoch": epoch, "batch": b * self.batch_size,
                 "n_batches": len(scenes),
                 "time": round(per_batch, 4),
+                "data_time": round(data_time, 6),
                 "lr": lr,
                 "loss": round(float(losses[b - 1]), 3),
             })
