@@ -66,6 +66,13 @@ class LSTM:
         # default (f32, or f64 under jax_enable_x64); bfloat16 roughly doubles
         # MXU throughput at a small accuracy cost (set via `with_dtype`)
         self.compute_dtype = None
+        # rematerialize each recurrence step in the backward pass
+        # (jax.checkpoint on the scan bodies): activations of the 20-step
+        # rollout are recomputed instead of stored, cutting peak HBM ~T-fold
+        # for attention pools whose [S,A,A,E] step activations dominate
+        # (the 5-member vmapped attentionmlp ensemble OOMs 24.6G/15.75G
+        # without it).  Value- and gradient-neutral (tests/test_remat.py)
+        self.remat = False
 
         goal_rep = self.goal_dim if goal_flag else 0
         pooling_dim = pool.out_dim if (pool is not None and pool_to_input) else 0
@@ -157,6 +164,8 @@ class LSTM:
             position = (obs2 + normal[..., :2]) * mask[..., None]
             return carry, (normal, mask, position)
 
+        if getattr(self, "remat", False):
+            body = jax.checkpoint(body)
         inputs = (observed[:-1], observed[1:], observed_mask[:-1], observed_mask[1:])
         carry, (normals, masks, positions) = jax.lax.scan(body, carry, inputs)
         return carry, normals, masks, positions, masks
@@ -208,6 +217,8 @@ class LSTM:
             new_state = (carry, obs2, p2, new_pos, mask)
             return new_state, (normal, mask, new_pos)
 
+        if getattr(self, "remat", False):
+            body = jax.checkpoint(body)
         state = (carry, pos_a, valid_a, pos_b, valid_b)
         if teacher:
             inputs = (truth[:-1], truth_mask[:-1], truth[1:], truth_mask[1:])

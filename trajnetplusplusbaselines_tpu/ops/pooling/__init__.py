@@ -57,6 +57,7 @@ def make_pool(type_: str, args=None):
             out_dim=pool_dim,
             mlp_dim_spatial=get("spatial_dim", 32),
             mlp_dim_vel=get("vel_dim", 32),
+            logit_cap=get("attn_logit_cap", None),
         )
     if type_ == "nn":
         return NearestNeighborMLP(n=get("neigh", 4), out_dim=pool_dim, no_vel=get("no_vel", False))

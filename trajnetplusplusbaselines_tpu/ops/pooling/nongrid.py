@@ -110,13 +110,25 @@ class AttentionMLPPooling(HiddenStateMLPPooling):
     at position i matters, which this implementation exploits directly (the
     dense [A, A] attention of the reference collapses to one query per agent,
     an exact algebraic simplification).
+
+    ``logit_cap`` (off by default — the reference has no analogue, and
+    parity tests run uncapped) applies ``cap * tanh(logits / cap)`` before
+    the softmax.  Training-stability fix for the instability diagnosed in
+    RESULTS.md: per-leaf gradient traces show the rare >>1e4-norm steps
+    land almost entirely on the score path (spatial/hidden/vel embeddings,
+    wk/wq) while the value path stays at healthy norms — i.e. the loss
+    becomes hypersensitive to *which* neighbour wins the softmax as |q|·|k|
+    grows unchecked.  The tanh cap bounds the logits AND multiplies their
+    gradient by tanh' -> 0 in saturation, breaking the feedback loop while
+    leaving the small-logit (healthy) regime numerically unchanged.
     """
 
     stateful = False
 
     def __init__(self, hidden_dim=128, mlp_dim=128, mlp_dim_spatial=32, mlp_dim_vel=32,
-                 out_dim=None, fill_value=-10.0):
+                 out_dim=None, fill_value=-10.0, logit_cap=None):
         super().__init__(hidden_dim, mlp_dim, mlp_dim_spatial, mlp_dim_vel, out_dim, fill_value)
+        self.logit_cap = logit_cap
 
     def init_params(self, key) -> Dict:
         keys = jax.random.split(key, 9)
@@ -147,6 +159,9 @@ class AttentionMLPPooling(HiddenStateMLPPooling):
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(self.mlp_dim, q.dtype))
         logits = jnp.einsum("sie,sije->sij", q, k) * scale
+        if getattr(self, "logit_cap", None):
+            cap = jnp.asarray(self.logit_cap, logits.dtype)
+            logits = cap * jnp.tanh(logits / cap)
         attn = jax.nn.softmax(logits, axis=-1)
         ctx = jnp.einsum("sij,sije->sie", attn, v)
         ctx = linear(params["attn_out"], ctx)

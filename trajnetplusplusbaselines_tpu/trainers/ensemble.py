@@ -277,6 +277,7 @@ def main(epochs=25, argv=None):
         goal_flag=args.goals,
         goal_dim=args.goal_dim,
     )
+    model.remat = args.remat
     stacked = jax.vmap(model.init_params)(
         jnp.stack([jax.random.PRNGKey(s) for s in args.seeds])
     )

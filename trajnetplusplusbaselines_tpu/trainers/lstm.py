@@ -429,6 +429,11 @@ def add_arguments(parser, default_epochs=25):
     parser.add_argument("--augment_noise", action="store_true")
     parser.add_argument("--obs_dropout", action="store_true")
 
+    parser.add_argument("--remat", action="store_true",
+                        help="jax.checkpoint each recurrence step: ~T-fold "
+                             "lower activation HBM for a ~1.3x backward "
+                             "recompute (needed for wide attention pools "
+                             "under vmapped ensembles)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (the axon TPU plugin "
                              "ignores JAX_PLATFORMS; pair with "
@@ -466,6 +471,10 @@ def add_arguments(parser, default_epochs=25):
     hyper.add_argument("--no_vel", action="store_true")
     hyper.add_argument("--spatial_dim", type=int, default=32)
     hyper.add_argument("--vel_dim", type=int, default=32)
+    hyper.add_argument("--attn_logit_cap", type=float, default=None,
+                       help="tanh soft-cap on attentionmlp softmax logits "
+                            "(training-stability fix; None = reference "
+                            "semantics, see RESULTS.md)")
     hyper.add_argument("--neigh", default=4, type=int)
     hyper.add_argument("--mp_iters", default=5, type=int)
     hyper.add_argument("--col_wt", default=0.0, type=float)
@@ -516,6 +525,7 @@ def main(epochs=25, argv=None):
         goal_flag=args.goals,
         goal_dim=args.goal_dim,
     )
+    model.remat = args.remat
     params = model.init_params(jax.random.PRNGKey(args.seed))
 
     optimizer = make_optimizer(weight_decay=1e-4, clip_grad=args.clip_grad)
