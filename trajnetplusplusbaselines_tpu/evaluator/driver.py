@@ -41,7 +41,18 @@ def get_predictions(predictors: Dict[str, Callable], args) -> None:
     """Write test_pred ndjson files for every (model, dataset) pair.
 
     predictors: {model_name: fn(paths, scene_goal) -> {mode: (primary, neighs)}}
+
+    Multi-process: when run under a multi-host JAX runtime each process
+    predicts its ``process_slice`` of the datasets (the pod-native
+    replacement for the reference's 12-way joblib fan-out,
+    /root/reference/trajnetbaselines/lstm/trajnet_evaluator.py:61); the
+    final tmp-dir -> model-dir rename happens on process 0 after a barrier.
     """
+    import jax
+
+    from ..parallel.multihost import shard_items
+
+    multiproc = jax.process_count() > 1
     datasets = list_test_datasets(args.path)
 
     for model_name, predictor in predictors.items():
@@ -53,11 +64,18 @@ def get_predictions(predictors: Dict[str, Callable], args) -> None:
         # write into a temp dir and rename at the end: an interrupted run must
         # not leave a partial dir that the skip-if-exists cache would trust
         tmp_dir = model_dir + ".tmp"
-        if os.path.exists(tmp_dir):
-            import shutil
+        if not multiproc or jax.process_index() == 0:
+            if os.path.exists(tmp_dir):
+                import shutil
 
-            shutil.rmtree(tmp_dir)
-        os.makedirs(tmp_dir, exist_ok=True)
+                shutil.rmtree(tmp_dir)
+            os.makedirs(tmp_dir, exist_ok=True)
+        if multiproc:
+            # assumes a filesystem shared across hosts (NFS/GCS-fuse); the
+            # barrier orders process 0's cleanup before anyone writes
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"pred-start:{model_name}")
 
         # goal files load only for predictors that need them (per-predictor
         # flag, like the reference's per-model goal_flag resolution); a mixed
@@ -66,7 +84,7 @@ def get_predictions(predictors: Dict[str, Callable], args) -> None:
             predictor, "goal_flag", getattr(args, "goal_flag", False)
         )
 
-        for dataset in datasets:
+        for dataset in (shard_items(datasets) if multiproc else datasets):
             dataset_name, scenes, scene_goals = load_test_datasets(
                 dataset, goal_flag, args
             )
@@ -84,6 +102,12 @@ def get_predictions(predictors: Dict[str, Callable], args) -> None:
             ]
             write_predictions(pred_list, scenes, model_name + ".tmp", dataset_name, args)
 
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"predictions:{model_name}")
+            if jax.process_index() != 0:
+                continue
         os.rename(tmp_dir, model_dir)
 
 

@@ -58,10 +58,11 @@ def param_sharding_rule(mesh: Mesh, path: Tuple, leaf) -> NamedSharding:
 
 
 def shard_params(mesh: Mesh, params):
-    """Apply the tensor-parallel rule to a parameter pytree."""
+    """Apply the tensor-parallel rule to a parameter pytree (multi-host-safe)."""
+    from .multihost import put_global
 
     def place(path, leaf):
-        return jax.device_put(leaf, param_sharding_rule(mesh, path, leaf))
+        return put_global(param_sharding_rule(mesh, path, leaf), leaf)
 
     return jax.tree_util.tree_map_with_path(
         lambda p, l: place(tuple(getattr(k, "key", getattr(k, "idx", None)) for k in p), l),

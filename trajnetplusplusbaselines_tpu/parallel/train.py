@@ -18,6 +18,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..losses import prediction_loss
 from .mesh import batch_sharding, scene_sharding, shard_params
+from .multihost import put_global
 
 
 def make_sharded_train_step(model, optimizer, mesh, obs_length: int = 9,
@@ -55,11 +56,11 @@ def make_sharded_train_step(model, optimizer, mesh, obs_length: int = 9,
 
     def place_batch(xy, mask, goals, slot_mask, scene_mask):
         return (
-            jax.device_put(jnp.asarray(xy), bsh),
-            jax.device_put(jnp.asarray(mask), bsh),
-            jax.device_put(jnp.asarray(goals), ssh),
-            jax.device_put(jnp.asarray(slot_mask), ssh),
-            jax.device_put(jnp.asarray(scene_mask), ssh),
+            put_global(bsh, jnp.asarray(xy)),
+            put_global(bsh, jnp.asarray(mask)),
+            put_global(ssh, jnp.asarray(goals)),
+            put_global(ssh, jnp.asarray(slot_mask)),
+            put_global(ssh, jnp.asarray(scene_mask)),
         )
 
     def place_params(params):
@@ -83,10 +84,10 @@ def make_sharded_rollout(model, mesh, obs_length: int = 9, n_predict: int = 12):
 
     def place_batch(xy, mask, goals, slot_mask):
         return (
-            jax.device_put(jnp.asarray(xy), bsh),
-            jax.device_put(jnp.asarray(mask), bsh),
-            jax.device_put(jnp.asarray(goals), ssh),
-            jax.device_put(jnp.asarray(slot_mask), ssh),
+            put_global(bsh, jnp.asarray(xy)),
+            put_global(bsh, jnp.asarray(mask)),
+            put_global(ssh, jnp.asarray(goals)),
+            put_global(ssh, jnp.asarray(slot_mask)),
         )
 
     return rollout, place_batch

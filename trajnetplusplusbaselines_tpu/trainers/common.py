@@ -124,13 +124,14 @@ class ResidentDataset:
         device-local (the whole dataset is a few MB — scenes are short — so
         replication costs nothing and avoids an all-to-all per batch).
         """
-        import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.multihost import put_global
 
         replicated = NamedSharding(mesh, P())
         for key, data in self.buckets.items():
             self.buckets[key] = {
-                k: jax.device_put(v, replicated) for k, v in data.items()
+                k: put_global(replicated, v) for k, v in data.items()
             }
 
     def epoch_plan(self, batch_size: int, rng: np.random.Generator,

@@ -181,13 +181,20 @@ class Trainer:
         self._mesh_placed = True
 
     def _place_plan(self, idx, valid):
-        """Shard the per-batch scene axis [nb, S] over the mesh's data axis."""
+        """Shard the per-batch scene axis [nb, S] over the mesh's data axis.
+
+        Multi-host: every process builds the identical plan (the epoch RNG is
+        seeded the same on all hosts) and put_global materializes only the
+        addressable shards.
+        """
         idx, valid = jnp.asarray(idx), jnp.asarray(valid)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from ..parallel.multihost import put_global
+
             sh = NamedSharding(self.mesh, P(None, "data"))
-            idx, valid = jax.device_put(idx, sh), jax.device_put(valid, sh)
+            idx, valid = put_global(sh, idx), put_global(sh, valid)
         return idx, valid
 
     def _train_step_core(self):
