@@ -79,7 +79,9 @@ evaluate() { # prefix type [--modes k]  (all seeds in ONE process)
 train_ensemble directional
 train_ensemble vanilla
 train_ensemble nn_lstm --neigh 4
-train_ensemble attentionmlp --spatial_dim 32 --vel_dim 32 --lr 3e-4 --clip_grad 1000
+# S-Attn recipe: RESULTS.md "The S-Attn instability, diagnosed" — logit soft
+# cap + spike-only clip (healthy epoch-max grad norm is <=341; spikes 26-31k)
+train_ensemble attentionmlp --spatial_dim 32 --vel_dim 32 --lr 3e-4 --attn_logit_cap 25 --clip_grad 400
 train_ensemble social --n 16 --embedding_arch two_layer --layer_dims 1024
 for seed in $SEEDS; do
   train sgan sgan directional "$seed" --k 3 --d_steps 1 --g_steps 1

@@ -48,11 +48,20 @@ def get_predictions(predictors: Dict[str, Callable], args) -> None:
     /root/reference/trajnetbaselines/lstm/trajnet_evaluator.py:61); the
     final tmp-dir -> model-dir rename happens on process 0 after a barrier.
     """
-    import jax
-
     from ..parallel.multihost import shard_items
 
-    multiproc = jax.process_count() > 1
+    # detect a multi-host runtime WITHOUT forcing backend init (classical /
+    # torch-oracle evals must not become TPU clients just to predict on CPU):
+    # multi-process JAX requires jax.distributed.initialize, so its client
+    # handle is the authoritative signal
+    try:
+        import jax.distributed
+
+        multiproc = jax.distributed.global_state.client is not None
+    except Exception:  # pragma: no cover - very old jax
+        multiproc = False
+    if multiproc:
+        import jax
     datasets = list_test_datasets(args.path)
 
     for model_name, predictor in predictors.items():

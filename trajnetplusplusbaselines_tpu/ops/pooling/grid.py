@@ -165,6 +165,11 @@ _SCATTER_IMPLS = {
 class GridBasedPooling:
     """Static configuration for grid pooling; parameters live in a pytree."""
 
+    # class-level default so checkpoints pickled before this attribute
+    # existed keep loading (predictor pickles are the distribution format,
+    # utils/checkpoint.py; unpickling bypasses __init__)
+    scatter_impl: Optional[str] = None
+
     def __init__(
         self,
         type_: str = "occupancy",

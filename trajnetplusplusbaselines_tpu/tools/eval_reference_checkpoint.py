@@ -19,6 +19,7 @@ Usage:
 import argparse
 import os
 import sys
+from contextlib import nullcontext as _nullcontext
 
 
 class _ReferencePredictor:
@@ -79,7 +80,25 @@ def main(argv=None):
             model_path.split("/")[-1].replace(".pkl", "")
             + "_modes" + str(args.modes)
         )
-        predictor = trajnetbaselines.lstm.LSTMPredictor.load(model_path)
+        # torch>=2.6 defaults weights_only=True, which rejects the
+        # reference's full-object pickle; these checkpoints are produced
+        # locally by scripts/reference_control.py, so loading them is safe
+        import torch
+
+        with torch.serialization.safe_globals(
+            [trajnetbaselines.lstm.lstm.LSTMPredictor]
+        ) if hasattr(torch.serialization, "safe_globals") else _nullcontext():
+            try:
+                predictor = trajnetbaselines.lstm.LSTMPredictor.load(model_path)
+            except Exception:
+                import functools
+
+                orig = torch.load
+                torch.load = functools.partial(orig, weights_only=False)
+                try:
+                    predictor = trajnetbaselines.lstm.LSTMPredictor.load(model_path)
+                finally:
+                    torch.load = orig
         predictors[name] = _ReferencePredictor(predictor, args)
 
     return run_evaluation(predictors, args)
