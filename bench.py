@@ -142,6 +142,11 @@ def main():
     # equivalent at ADE ~0.6 m scales
     dtype = jnp.bfloat16
     model = LSTM(pool=pool, embedding_dim=64, hidden_dim=128).with_dtype(dtype)
+    # unroll=6 won the round-3 sweep (349k/359k/361k/365k/305k scenes/s for
+    # unroll 1/2/4/6/12): wider per-program fusion windows across rollout
+    # steps; 12 regresses (program too large).  Eval paths keep unroll=1 —
+    # the remote AOT compiler's VMEM budget is the binding constraint there.
+    model.scan_unroll = 6
     params = jax.tree.map(
         lambda x: x.astype(dtype), model.init_params(jax.random.PRNGKey(0))
     )

@@ -47,6 +47,12 @@ class StepCarry(NamedTuple):
 class LSTM:
     """Static model configuration; parameters live in a pytree."""
 
+    # class-level default (old pickles bypass __init__): unroll factor for
+    # the time scans.  The rollout is 20 sequential small fused programs —
+    # the roofline's binding constraint (RESULTS.md) — and unrolling gives
+    # XLA a wider fusion/overlap window per program at zero semantic change.
+    scan_unroll: int = 1
+
     def __init__(
         self,
         embedding_dim: int = 64,
@@ -167,7 +173,9 @@ class LSTM:
         if getattr(self, "remat", False):
             body = jax.checkpoint(body)
         inputs = (observed[:-1], observed[1:], observed_mask[:-1], observed_mask[1:])
-        carry, (normals, masks, positions) = jax.lax.scan(body, carry, inputs)
+        carry, (normals, masks, positions) = jax.lax.scan(
+            body, carry, inputs, unroll=getattr(self, "scan_unroll", 1)
+        )
         return carry, normals, masks, positions, masks
 
     # --------------------------------------------------------------- decoder
@@ -220,12 +228,15 @@ class LSTM:
         if getattr(self, "remat", False):
             body = jax.checkpoint(body)
         state = (carry, pos_a, valid_a, pos_b, valid_b)
+        unroll = getattr(self, "scan_unroll", 1)
         if teacher:
             inputs = (truth[:-1], truth_mask[:-1], truth[1:], truth_mask[1:])
-            state, (normals, masks, positions) = jax.lax.scan(body, state, inputs)
+            state, (normals, masks, positions) = jax.lax.scan(
+                body, state, inputs, unroll=unroll
+            )
         else:
             state, (normals, masks, positions) = jax.lax.scan(
-                body, state, None, length=n_steps
+                body, state, None, length=n_steps, unroll=unroll
             )
         return state[0], normals, masks, positions, masks
 
