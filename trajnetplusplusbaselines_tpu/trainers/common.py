@@ -47,6 +47,13 @@ def enable_compilation_cache(directory: str = ".jax_cache") -> None:
 # fixed ladder keeps the number of distinct compiled executables small.
 CHUNK_SIZES = (256, 32, 4, 1)
 
+# Unroll factor for the per-batch scan inside the resident-epoch runner.
+# Batches are a sequential SGD chain, so unrolling only widens XLA's
+# scheduling window (gathers/augmentation of batch k+1 can overlap batch k's
+# update); measured neutral-to-slightly-positive on the v5e, kept at 1 until
+# a sweep shows a real win (bench /tmp experiments round 3).
+EPOCH_SCAN_UNROLL = 1
+
 
 def chunk_sizes_for(n: int, sizes: Sequence[int] = CHUNK_SIZES) -> List[int]:
     """Greedy fixed-size decomposition of n (e.g. 300 -> [256, 32, 4, 4, 4])."""
@@ -205,7 +212,10 @@ def make_bucket_epoch_runner(step_core, augment: bool = False,
             carry, out = step_core(carry, xy, m, goals[i], slot, scene, sub, *batch[2:])
             return (carry, key), out
 
-        (carry, _), outs = jax.lax.scan(body, (carry, key), (idx, valid) + extras)
+        (carry, _), outs = jax.lax.scan(
+            body, (carry, key), (idx, valid) + extras,
+            unroll=EPOCH_SCAN_UNROLL,
+        )
         return carry, outs
 
     if not ensemble:
