@@ -252,7 +252,7 @@ class GridBasedPooling:
         """Per-pair fill values [S, A, A, D] and their validity [S, A, A]."""
         s, a = obs2.shape[:2]
         if self.type_ == "occupancy":
-            values = jnp.ones((s, a, a, 1))
+            values = jnp.ones((s, a, a, 1), obs2.dtype)
             return values
 
         vel_valid = (present1 & present2)[..., None]  # [S, A, 1]
@@ -284,9 +284,9 @@ class GridBasedPooling:
 
         rel = obs2[:, None, :, :] - obs2[:, :, None, :]  # rel[s, i, j] = pos_j - pos_i
         if self.front:
-            offset = jnp.array([nps / 2.0, 0.0])
+            offset = jnp.array([nps / 2.0, 0.0], obs2.dtype)
         else:
-            offset = jnp.array([nps / 2.0, nps / 2.0])
+            offset = jnp.array([nps / 2.0, nps / 2.0], obs2.dtype)
         oij = rel / (self.cell_side / self.pool_size) + offset
 
         visible = present2[:, None, :] & present2[:, :, None]  # both ends observed at t

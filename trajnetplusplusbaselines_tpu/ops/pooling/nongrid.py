@@ -196,7 +196,7 @@ def _nearest_grid(obs1, obs2, present1, present2, n: int) -> jnp.ndarray:
     gathered = jnp.where(sel_dist[..., None] < 1000.0, gathered, 0.0)
 
     if k < n:  # zero-pad to n slots (tiny scenes)
-        pad = jnp.zeros((s, a, n - k, 4))
+        pad = jnp.zeros((s, a, n - k, 4), gathered.dtype)
         gathered = jnp.concatenate([gathered, pad], axis=2)
     return gathered
 

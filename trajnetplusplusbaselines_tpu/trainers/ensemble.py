@@ -49,8 +49,11 @@ class EnsembleTrainer:
     def __init__(self, model, stacked_params, optimizer, lr_schedule, seeds,
                  criterion="pred", batch_size=8, obs_length=9, pred_length=12,
                  augment=True, augment_noise=False, save_every=1, val_flag=True,
-                 mesh=None):
+                 mesh=None, compute_dtype=None):
         self.model = model
+        # mixed precision (see trainers/lstm.py): bf16 forward/backward, f32
+        # master params/optimizer/loss
+        self.compute_dtype = compute_dtype
         self.params = stacked_params  # leaves have leading [E] axis
         self.optimizer = optimizer
         self.opt_state = jax.vmap(optimizer.init)(stacked_params)
@@ -84,11 +87,18 @@ class EnsembleTrainer:
 
     # ------------------------------------------------------------- step core
     def _loss_fn(self, params, xy, mask, goals, slot, scene):
+        if self.compute_dtype is not None:
+            params = jax.tree.map(
+                lambda p: p.astype(self.compute_dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p, params
+            )
         rel, _, _ = self.model.forward(
             params, xy[: self.obs_length], mask[: self.obs_length], goals, slot,
             prediction_truth=xy[self.obs_length : self.seq_length - 1],
             prediction_truth_mask=mask[self.obs_length : self.seq_length - 1],
         )
+        if self.compute_dtype is not None:
+            rel = rel.astype(jnp.float32)
         targets = (
             xy[self.obs_length : self.seq_length, :, 0]
             - xy[self.obs_length - 1 : self.seq_length - 1, :, 0]
@@ -227,6 +237,11 @@ class EnsembleTrainer:
         # (incl. the opt_state slice), so ensemble-produced .epoch<k> files
         # resume under the sequential trainer's --load_full_state
         lr = float(self.lr_schedule(max(epoch - 1, 0)))
+        # predictor pickles evaluate in f32 regardless of training dtype
+        import copy
+
+        eval_model = copy.copy(self.model)
+        eval_model.compute_dtype = None
         for i, filename in enumerate(filenames):
             member = jax.tree.map(lambda x: np.asarray(x[i]), self.params)
             opt_member = jax.tree.map(lambda x: np.asarray(x)[i], self.opt_state)
@@ -236,7 +251,7 @@ class EnsembleTrainer:
                 "opt_state_hyper": {"learning_rate": lr},
                 "opt_state": opt_member,
             }
-            LSTMPredictor(self.model, member).save(state, filename)
+            LSTMPredictor(eval_model, member).save(state, filename)
 
 
 def main(epochs=25, argv=None):
@@ -278,6 +293,9 @@ def main(epochs=25, argv=None):
         goal_dim=args.goal_dim,
     )
     model.remat = args.remat
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
+    if compute_dtype is not None:
+        model.with_dtype(compute_dtype)
     stacked = jax.vmap(model.init_params)(
         jnp.stack([jax.random.PRNGKey(s) for s in args.seeds])
     )
@@ -291,6 +309,7 @@ def main(epochs=25, argv=None):
         obs_length=args.obs_length, pred_length=args.pred_length,
         augment=args.augment, augment_noise=args.augment_noise,
         save_every=args.save_every, val_flag=val_flag,
+        compute_dtype=compute_dtype,
     )
 
     train_ds = SceneDataset(train_scenes, train_goals, args.obs_length, args.normalize_scene)

@@ -48,8 +48,14 @@ class Trainer:
                  batch_size=8, obs_length=9, pred_length=12, augment=True,
                  normalize_scene=False, save_every=1, start_length=0,
                  obs_dropout=False, augment_noise=False, val_flag=True,
-                 col_wt=0.0, col_distance=0.2, seed=42, mesh=None):
+                 col_wt=0.0, col_distance=0.2, seed=42, mesh=None,
+                 compute_dtype=None):
         self.model = model
+        # mixed precision: f32 master params + optimizer state; forward and
+        # backward run in compute_dtype (bf16 on TPU), losses always f32.
+        # The cast lives inside the differentiated function, so gradients
+        # arrive back in f32 for Adam.
+        self.compute_dtype = compute_dtype
         self.params = params
         self.optimizer = optimizer
         self.opt_state = optimizer.init(params)
@@ -117,15 +123,30 @@ class Trainer:
             )
         return loss * self.batch_size
 
+    def _cast_compute(self, params):
+        """f32 leaves -> compute dtype (identity when mixed precision is off)."""
+        dt = self.compute_dtype
+        if dt is None:
+            return params
+        return jax.tree.map(
+            lambda p: p.astype(dt)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, params
+        )
+
+    def _outputs_f32(self, rel, pred, valid):
+        if self.compute_dtype is None:
+            return rel, pred, valid
+        return rel.astype(jnp.float32), pred.astype(jnp.float32), valid
+
     def _forward_train(self, params, xy, mask, goals, slot_mask, start_length):
         observed = xy[start_length : self.obs_length]
         observed_mask = mask[start_length : self.obs_length]
         truth = xy[self.obs_length : self.seq_length - 1]
         truth_mask = mask[self.obs_length : self.seq_length - 1]
-        return self.model.forward(
-            params, observed, observed_mask, goals, slot_mask,
-            prediction_truth=truth, prediction_truth_mask=truth_mask,
-        )
+        return self._outputs_f32(*self.model.forward(
+            self._cast_compute(params), observed, observed_mask, goals,
+            slot_mask, prediction_truth=truth, prediction_truth_mask=truth_mask,
+        ))
 
     def _make_train_runner(self, start_length):
         """One jitted lax.scan over a [B, ...] stack of same-shape batches.
@@ -225,12 +246,12 @@ class Trainer:
                 params, xy, mask, goals, slot, start_length
             )
             loss = self._loss_from_outputs(rel, pred, valid, xy, mask, scene)
-            rel_t, pred_t, valid_t = self.model.forward(
-                params,
+            rel_t, pred_t, valid_t = self._outputs_f32(*self.model.forward(
+                self._cast_compute(params),
                 xy[start_length : self.obs_length],
                 mask[start_length : self.obs_length],
                 goals, slot, n_predict=self.pred_length,
-            )
+            ))
             loss_test = self._loss_from_outputs(rel_t, pred_t, valid_t, xy, mask, scene)
             return params, (loss, loss_test)
 
@@ -331,7 +352,13 @@ class Trainer:
             "opt_state_hyper": {"learning_rate": float(self.lr_schedule(max(epoch - 1, 0)))},
             "opt_state": self.opt_state,
         }
-        LSTMPredictor(self.model, self.params).save(state, filename)
+        # predictor pickles evaluate in f32 regardless of the training
+        # compute dtype (weights are f32 masters either way)
+        import copy
+
+        model = copy.copy(self.model)
+        model.compute_dtype = None
+        LSTMPredictor(model, self.params).save(state, filename)
 
     def get_lr(self, epoch: int) -> float:
         return float(self.lr_schedule(epoch))
@@ -436,6 +463,10 @@ def add_arguments(parser, default_epochs=25):
     parser.add_argument("--augment_noise", action="store_true")
     parser.add_argument("--obs_dropout", action="store_true")
 
+    parser.add_argument("--bf16", action="store_true",
+                        help="mixed-precision training: bf16 forward/backward "
+                             "on the MXU with f32 master params, optimizer "
+                             "state, and losses")
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint each recurrence step: ~T-fold "
                              "lower activation HBM for a ~1.3x backward "
@@ -533,6 +564,9 @@ def main(epochs=25, argv=None):
         goal_dim=args.goal_dim,
     )
     model.remat = args.remat
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
+    if compute_dtype is not None:
+        model.with_dtype(compute_dtype)
     params = model.init_params(jax.random.PRNGKey(args.seed))
 
     optimizer = make_optimizer(weight_decay=1e-4, clip_grad=args.clip_grad)
@@ -566,6 +600,7 @@ def main(epochs=25, argv=None):
         start_length=args.start_length, obs_dropout=args.obs_dropout,
         augment_noise=args.augment_noise, val_flag=val_flag, col_wt=args.col_wt,
         col_distance=args.col_distance, seed=args.seed, mesh=mesh,
+        compute_dtype=compute_dtype,
     )
 
     if args.load_full_state:
