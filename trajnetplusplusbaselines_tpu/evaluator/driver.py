@@ -50,16 +50,7 @@ def get_predictions(predictors: Dict[str, Callable], args) -> None:
     """
     from ..parallel.multihost import shard_items
 
-    # detect a multi-host runtime WITHOUT forcing backend init (classical /
-    # torch-oracle evals must not become TPU clients just to predict on CPU):
-    # multi-process JAX requires jax.distributed.initialize, so its client
-    # handle is the authoritative signal
-    try:
-        import jax.distributed
-
-        multiproc = jax.distributed.global_state.client is not None
-    except Exception:  # pragma: no cover - very old jax
-        multiproc = False
+    multiproc = _multihost_runtime()
     if multiproc:
         import jax
     datasets = list_test_datasets(args.path)
@@ -115,15 +106,47 @@ def get_predictions(predictors: Dict[str, Callable], args) -> None:
             from jax.experimental import multihost_utils
 
             multihost_utils.sync_global_devices(f"predictions:{model_name}")
-            if jax.process_index() != 0:
-                continue
-        os.rename(tmp_dir, model_dir)
+            if jax.process_index() == 0:
+                os.rename(tmp_dir, model_dir)
+            # second barrier: no host may proceed (e.g. into evaluation)
+            # until the rename has been published
+            multihost_utils.sync_global_devices(f"published:{model_name}")
+        else:
+            os.rename(tmp_dir, model_dir)
+
+
+def _multihost_runtime() -> bool:
+    """True iff this is a multi-process JAX runtime.
+
+    Uses ``jax.distributed.is_initialized()`` — set only by
+    ``jax.distributed.initialize`` — so the check never forces backend
+    creation (classical / torch-oracle evals must not become TPU clients
+    just to predict on CPU).  A single-process distributed init still
+    returns False via process_count.
+    """
+    try:
+        import jax.distributed
+
+        if not jax.distributed.is_initialized():
+            return False
+        import jax
+
+        return jax.process_count() > 1
+    except Exception:  # pragma: no cover - very old jax
+        return False
 
 
 def run_evaluation(predictors: Dict[str, Callable], args):
     get_predictions(predictors, args)
     if getattr(args, "write_only", False):
         return None
+    if _multihost_runtime():
+        # metrics aggregate over the full prediction tree; one process
+        # computes and writes them, the rest just synchronized above
+        import jax
+
+        if jax.process_index() != 0:
+            return None
     from .trajnet_evaluator import trajnet_evaluate
 
     return trajnet_evaluate(args)

@@ -86,9 +86,11 @@ def shard_items(items: Sequence, process_index: Optional[int] = None,
 def all_processes_agree(x) -> bool:
     """True iff every process passed an identical array/scalar.
 
-    Uses a psum of the elementwise difference to the process-0 value via
-    ``multihost_utils.process_allgather``; single-process returns True
-    without touching the device.
+    All-gathers the value (``multihost_utils.process_allgather``) and
+    compares every row to process 0's; single-process returns True without
+    touching the device.  The trainers call this on a digest of each epoch
+    plan so cross-host seed drift fails loudly instead of producing
+    silently-wrong gathers.
     """
     import jax
 

@@ -55,12 +55,15 @@ def make_sharded_train_step(model, optimizer, mesh, obs_length: int = 9,
     ssh = scene_sharding(mesh)
 
     def place_batch(xy, mask, goals, slot_mask, scene_mask):
+        # host arrays go straight to put_global: pre-converting with
+        # jnp.asarray would commit them to the default device only for the
+        # multi-process branch to pull them back to host (np.asarray)
         return (
-            put_global(bsh, jnp.asarray(xy)),
-            put_global(bsh, jnp.asarray(mask)),
-            put_global(ssh, jnp.asarray(goals)),
-            put_global(ssh, jnp.asarray(slot_mask)),
-            put_global(ssh, jnp.asarray(scene_mask)),
+            put_global(bsh, xy),
+            put_global(bsh, mask),
+            put_global(ssh, goals),
+            put_global(ssh, slot_mask),
+            put_global(ssh, scene_mask),
         )
 
     def place_params(params):
@@ -84,10 +87,10 @@ def make_sharded_rollout(model, mesh, obs_length: int = 9, n_predict: int = 12):
 
     def place_batch(xy, mask, goals, slot_mask):
         return (
-            put_global(bsh, jnp.asarray(xy)),
-            put_global(bsh, jnp.asarray(mask)),
-            put_global(ssh, jnp.asarray(goals)),
-            put_global(ssh, jnp.asarray(slot_mask)),
+            put_global(bsh, xy),
+            put_global(bsh, mask),
+            put_global(ssh, goals),
+            put_global(ssh, slot_mask),
         )
 
     return rollout, place_batch

@@ -332,6 +332,25 @@ class SceneDataset:
             yield batching.pack_scenes(xs, gs, pad_scenes_to=batch_size)
 
 
+def cast_compute(params, compute_dtype):
+    """Mixed precision: float leaves -> compute dtype (identity when None).
+
+    Used by both trainers so the bf16 policy cannot drift between them; the
+    cast happens inside the differentiated loss, so gradients come back in
+    the master dtype.
+    """
+    if compute_dtype is None:
+        return params
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda p: p.astype(compute_dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        params,
+    )
+
+
 def step_lr(lr: float, step_size: Optional[int], gamma: float = 0.1):
     """StepLR schedule over epochs: lr * gamma^(epoch // step_size)."""
 
@@ -347,11 +366,13 @@ def make_optimizer(weight_decay: float = 1e-4, clip_grad: Optional[float] = None
     """Adam with torch-style coupled weight decay; lr injected per epoch.
 
     clip_grad: optional global-norm gradient clip.  The reference never clips
-    (and ships no S-Attn training recipe at all); attention-pooled models are
-    seed-sensitive at any fixed lr, so their published-protocol runs here use
-    ``--lr 3e-4 --clip_grad 1000`` — a loose clip that only catches the rare
-    pathological step (healthy step norms are 30-900; a tight 1.0 clip
-    strangles learning to ADE ~0.82).  Mechanism analysis in RESULTS.md.
+    (and ships no S-Attn training recipe at all); attention-pooled models
+    suffer logit-crossing gradient spikes (26-31k norm vs healthy epoch max
+    <=341), so their published-protocol runs here use ``--lr 3e-4
+    --attn_logit_cap 25 --clip_grad 400`` — the clip sits above every
+    healthy step and scales only the spikes (a tight 1.0 clip rescales every
+    step ~70x and strangles learning to ADE ~0.82).  Mechanism analysis in
+    RESULTS.md "The S-Attn instability, diagnosed".
     """
     return optax.inject_hyperparams(
         lambda learning_rate: optax.chain(

@@ -33,6 +33,7 @@ from ..models.lstm import LSTM, LSTMPredictor
 from ..ops.pooling import make_pool
 from .common import (
     ResidentDataset,
+    cast_compute,
     SceneDataset,
     enable_compilation_cache,
     log_process_record,
@@ -87,11 +88,7 @@ class EnsembleTrainer:
 
     # ------------------------------------------------------------- step core
     def _loss_fn(self, params, xy, mask, goals, slot, scene):
-        if self.compute_dtype is not None:
-            params = jax.tree.map(
-                lambda p: p.astype(self.compute_dtype)
-                if jnp.issubdtype(p.dtype, jnp.floating) else p, params
-            )
+        params = cast_compute(params, self.compute_dtype)
         rel, _, _ = self.model.forward(
             params, xy[: self.obs_length], mask[: self.obs_length], goals, slot,
             prediction_truth=xy[self.obs_length : self.seq_length - 1],

@@ -29,6 +29,7 @@ from ..ops.pooling import make_pool
 from ..utils import checkpoint as ckpt
 from .common import (
     ResidentDataset,
+    cast_compute,
     SceneDataset,
     chunk_sizes_for,
     enable_compilation_cache,
@@ -124,14 +125,7 @@ class Trainer:
         return loss * self.batch_size
 
     def _cast_compute(self, params):
-        """f32 leaves -> compute dtype (identity when mixed precision is off)."""
-        dt = self.compute_dtype
-        if dt is None:
-            return params
-        return jax.tree.map(
-            lambda p: p.astype(dt)
-            if jnp.issubdtype(p.dtype, jnp.floating) else p, params
-        )
+        return cast_compute(params, self.compute_dtype)
 
     def _outputs_f32(self, rel, pred, valid):
         if self.compute_dtype is None:
@@ -208,15 +202,21 @@ class Trainer:
         seeded the same on all hosts) and put_global materializes only the
         addressable shards.
         """
-        idx, valid = jnp.asarray(idx), jnp.asarray(valid)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..parallel.multihost import put_global
+            from ..parallel.multihost import all_processes_agree, put_global
 
+            if jax.process_count() > 1:
+                # seed drift between hosts would make put_global assemble a
+                # plan no single host intended — fail loudly instead
+                digest = np.array([np.sum(idx), np.sum(valid), idx.shape[0]])
+                assert all_processes_agree(digest), (
+                    "epoch plan differs across processes (seed drift?)"
+                )
             sh = NamedSharding(self.mesh, P(None, "data"))
-            idx, valid = put_global(sh, idx), put_global(sh, valid)
-        return idx, valid
+            return put_global(sh, np.asarray(idx)), put_global(sh, np.asarray(valid))
+        return jnp.asarray(idx), jnp.asarray(valid)
 
     def _train_step_core(self):
         def loss_fn(params, xy, mask, goals, slot_mask, scene_mask):
