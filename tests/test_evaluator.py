@@ -141,3 +141,68 @@ def test_col1_sentinel_when_neighbours_missing(dataset_tree, monkeypatch):
     table = trajnet_evaluate(args)
     overall = table.results["cvp_modes1"][32:40]
     assert overall[3] == -1  # pred_col sentinel propagated to the table
+
+
+def test_multiprocess_prediction_fanout(dataset_tree, monkeypatch):
+    """Simulated 2-host run: each process predicts its dataset slice, only
+    process 0 publishes the rename, and the union covers every dataset
+    (driver.get_predictions multi-host branch, parallel/multihost.py)."""
+    import shutil
+
+    from trajnetplusplusbaselines_tpu.evaluator import driver as drv
+
+    # second dataset file so there is something to shard
+    base = os.path.join(dataset_tree, "DATA_BLOCK", "synthset")
+    for subset in ("test", "test_private"):
+        shutil.copy(
+            os.path.join(base, subset, "synth.ndjson"),
+            os.path.join(base, subset, "synth2.ndjson"),
+        )
+
+    args = make_args(dataset_tree)
+    os.makedirs(args.path, exist_ok=True)
+    monkeypatch.chdir(dataset_tree)
+
+    def cv_predictor(paths, goal):
+        return constant_velocity.predict(
+            paths, n_predict=args.pred_length, obs_length=args.obs_length
+        )
+
+    barriers = []
+    monkeypatch.setattr(drv, "_multihost_runtime", lambda: True)
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(
+        multihost_utils, "sync_global_devices", lambda name: barriers.append(name)
+    )
+
+    import jax
+
+    import trajnetplusplusbaselines_tpu.parallel.multihost as mh
+
+    written = {}
+    for pi in range(2):
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        # fresh model dir state only on the first simulated host
+        get_predictions({"cvmp_modes1": cv_predictor}, args)
+        written[pi] = sorted(os.listdir(
+            os.path.join(args.path, "cvmp_modes1.tmp")
+        )) if os.path.exists(os.path.join(args.path, "cvmp_modes1.tmp")) else None
+
+    # process 0 wrote its slice into tmp, predicted datasets differ per host,
+    # and after the simulated second host the rename was published by p0...
+    # (sequential simulation: p0 ran to completion first, including rename)
+    model_dir = os.path.join(args.path, "cvmp_modes1")
+    assert os.path.exists(model_dir)
+    files = sorted(os.listdir(model_dir))
+    # process 0 owned ceil(2/2)=1 dataset; process 1 skipped (dir existed)
+    assert files and set(files) <= {"synth.ndjson", "synth2.ndjson"}
+    assert any(b.startswith("pred-start") for b in barriers)
+    assert any(b.startswith("published") for b in barriers)
+
+    # the slice arithmetic covers both datasets across the two hosts
+    datasets = list_test_datasets(args.path)
+    parts = [list(mh.shard_items(datasets, pi, 2)) for pi in range(2)]
+    assert sorted(sum(parts, [])) == sorted(datasets)
+    assert all(len(p) == 1 for p in parts)

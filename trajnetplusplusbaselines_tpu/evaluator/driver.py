@@ -29,7 +29,10 @@ def ensure_data_block(data_root: str, local_root: str, datasets: List[str]) -> N
 
 def list_test_datasets(path: str) -> List[str]:
     """Dataset stems in the test dir (args.path is .../test_pred/)."""
-    test_dir = path.replace("_pred", "")
+    # replace only the trailing test_pred component — a blanket
+    # str.replace("_pred", "") would corrupt any other "_pred" in the path
+    head, sep, _ = path.rstrip("/").rpartition("/")
+    test_dir = (head + sep if sep else "") + "test"
     return sorted(
         f.replace(".ndjson", "")
         for f in os.listdir(test_dir)

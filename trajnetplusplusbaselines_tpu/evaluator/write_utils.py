@@ -12,10 +12,18 @@ import numpy as np
 from ..data import Reader, SceneRow, TrackRow, writers
 
 
+def _test_root(path: str) -> str:
+    """.../test_pred/ -> .../test/ — only the trailing component changes (a
+    blanket replace("_pred", "") would corrupt other "_pred" in the path)."""
+    head, sep, _ = path.rstrip("/").rpartition("/")
+    return (head + sep if sep else "") + "test/"
+
+
 def load_test_datasets(dataset: str, goal_flag: bool, args):
     """Load the scenes of one test dataset (and optional goal files)."""
-    dataset_name = dataset.replace(args.path.replace("_pred", "") + "test/", "") + ".ndjson"
-    reader = Reader(args.path.replace("_pred", "") + dataset + ".ndjson", scene_type="paths")
+    test_root = _test_root(args.path)
+    dataset_name = dataset.replace(test_root + "test/", "") + ".ndjson"
+    reader = Reader(test_root + dataset + ".ndjson", scene_type="paths")
     scenes = [(dataset, s_id, s) for s_id, s in reader.scenes()]
 
     if goal_flag:
