@@ -256,6 +256,10 @@ def main(epochs=25, argv=None):
     add_arguments(parser, epochs)
     parser.add_argument("--seeds", type=int, nargs="+",
                         default=[42, 10, 20, 30, 40])
+    parser.add_argument("--suffix", default="",
+                        help="appended to each member's seed<k> output name "
+                             "(variant runs must not overwrite the protocol "
+                             "checkpoints)")
     args = parser.parse_args(argv)
 
     random.seed(args.seeds[0])
@@ -266,7 +270,7 @@ def main(epochs=25, argv=None):
         os.makedirs(f"OUTPUT_BLOCK/{args.path}")
     prefix = "lstm_goals" if args.goals else "lstm"
     outputs = [
-        f"OUTPUT_BLOCK/{args.path}/{prefix}_{args.type}_seed{s}.pkl"
+        f"OUTPUT_BLOCK/{args.path}/{prefix}_{args.type}_seed{s}{args.suffix}.pkl"
         for s in args.seeds
     ]
 
