@@ -1,0 +1,73 @@
+"""Worker for the real two-process multi-host test (test_multihost.py).
+
+Run as:  python tests/multiprocess_worker.py <process_id> <coordinator_port>
+
+Each process initializes jax.distributed against a shared coordinator,
+forms a global 4-device CPU mesh (2 local virtual devices x 2 processes),
+and exercises the production placement layer:
+
+- put_global of a replicated array and a data-sharded batch plan,
+- a jitted global-sum over the sharded array (XLA inserts the cross-process
+  collective),
+- all_processes_agree on matching and deliberately mismatched digests.
+
+Exit code 0 = every assertion held on this process.
+"""
+
+import os
+import sys
+
+process_id = int(sys.argv[1])
+port = sys.argv[2]
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=2,
+    process_id=process_id,
+)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from trajnetplusplusbaselines_tpu.parallel import multihost as mh
+
+assert jax.process_count() == 2
+assert len(jax.devices()) == 4  # global
+assert len(jax.local_devices()) == 2
+
+mesh = Mesh(np.array(jax.devices()).reshape(4), ("data",))
+
+# replicated resident-store placement
+arr = np.arange(32, dtype=np.float32).reshape(4, 8)
+rep = mh.put_global(NamedSharding(mesh, P()), arr)
+assert rep.sharding.is_fully_replicated
+
+# data-sharded plan placement + global reduction through a collective
+plan = np.arange(8, dtype=np.float32)
+sharded = mh.put_global(NamedSharding(mesh, P("data")), plan)
+total = jax.jit(lambda x: jnp.sum(x))(sharded)
+assert float(total) == float(plan.sum()), float(total)
+
+# process_slice partitions the dataset list exactly
+datasets = [f"d{i}" for i in range(5)]
+mine = mh.shard_items(datasets)
+sizes = {0: 3, 1: 2}
+assert len(mine) == sizes[process_id], mine
+
+# agreement check: identical digests pass...
+assert mh.all_processes_agree(np.array([1.0, 2.0]))
+# ...divergent digests are detected
+assert not mh.all_processes_agree(np.array([float(process_id)]))
+
+print(f"process {process_id} ok")
