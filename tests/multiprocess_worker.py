@@ -70,4 +70,39 @@ assert mh.all_processes_agree(np.array([1.0, 2.0]))
 # ...divergent digests are detected
 assert not mh.all_processes_agree(np.array([float(process_id)]))
 
+# ---- the PRODUCTION resident-epoch trainer over the 2-process mesh ----
+# Same seed on both hosts -> identical plans (the digest guard verifies),
+# scene axis sharded over all 4 global devices, psum crossing processes.
+from trajnetplusplusbaselines_tpu.models.lstm import LSTM
+from trajnetplusplusbaselines_tpu.parallel import make_mesh
+from trajnetplusplusbaselines_tpu.trainers.common import make_optimizer, step_lr
+from trajnetplusplusbaselines_tpu.trainers.lstm import Trainer
+
+
+class MiniDataset:
+    def __init__(self, n=16, t=21, seed=0):
+        rng = np.random.default_rng(seed)
+        self.xys = [rng.normal(size=(t, 4, 2)).cumsum(axis=0) * 0.3
+                    for _ in range(n)]
+        self.goals = [np.zeros((4, 2)) for _ in range(n)]
+
+    def __len__(self):
+        return len(self.xys)
+
+
+model = LSTM(pool=None)
+trainer = Trainer(
+    model, model.init_params(jax.random.PRNGKey(0)), make_optimizer(),
+    step_lr(1e-3, 10), batch_size=8, augment=True, save_every=10**9,
+    val_flag=False, seed=7, mesh=make_mesh(4, dp=4, tp=1),
+)
+ds = MiniDataset()
+trainer.train(ds, epoch=0)
+losses0 = trainer.train(ds, epoch=1)
+leaves = jax.tree.leaves(trainer.params)
+assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+# replicated parameters must be IDENTICAL across hosts after the psum chain
+digest = np.array([float(np.asarray(l).sum()) for l in leaves])
+assert mh.all_processes_agree(digest), "params diverged across hosts"
+
 print(f"process {process_id} ok")
