@@ -119,3 +119,39 @@ def test_vae_trainer_smoke(data_tree):
     _, paths = next(reader.scenes())
     result = predictor(paths, np.zeros((len(paths), 2)), modes=2)
     assert len(result) == 2
+
+
+def test_orbax_checkpoint_and_resume(data_tree):
+    """--orbax writes an Orbax state dir beside the pickle, and
+    --load-full-state accepts it in place of the pickle sidecar."""
+    from trajnetplusplusbaselines_tpu.trainers import lstm as lstm_trainer
+
+    lstm_trainer.main(argv=[
+        "--epochs", "1", "--path", "synthset", "--type", "vanilla",
+        "--batch_size", "2", "--save_every", "1", "-o", "orb", "--orbax",
+    ])
+    out = "OUTPUT_BLOCK/synthset/lstm_vanilla_orb.pkl"
+    orbax_dir = out + ".orbax"
+    assert os.path.isdir(orbax_dir)
+
+    from trajnetplusplusbaselines_tpu.utils import checkpoint as ckpt
+
+    via_orbax = ckpt.load_state(orbax_dir)
+    via_pickle = ckpt.load_state(out + ".state")
+    assert via_orbax["epoch"] == via_pickle["epoch"]
+    np.testing.assert_array_equal(
+        np.asarray(via_orbax["params"]["encoder"]["w_ih"]),
+        np.asarray(via_pickle["params"]["encoder"]["w_ih"]),
+    )
+
+    # resume from the orbax directory
+    lstm_trainer.main(argv=[
+        "--epochs", "2", "--path", "synthset", "--type", "vanilla",
+        "--batch_size", "2", "--save_every", "10", "-o", "orb",
+        "--load-full-state", orbax_dir,
+    ])
+    from trajnetplusplusbaselines_tpu.tools.plot_log import read_log
+
+    records = read_log(out + ".log")
+    epochs = [r["epoch"] for r in records["train-epoch"]]
+    assert epochs[-1] == 2  # continued past the restored epoch

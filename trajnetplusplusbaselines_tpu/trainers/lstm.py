@@ -50,7 +50,7 @@ class Trainer:
                  normalize_scene=False, save_every=1, start_length=0,
                  obs_dropout=False, augment_noise=False, val_flag=True,
                  col_wt=0.0, col_distance=0.2, seed=42, mesh=None,
-                 compute_dtype=None):
+                 compute_dtype=None, orbax=False):
         self.model = model
         # mixed precision: f32 master params + optimizer state; forward and
         # backward run in compute_dtype (bf16 on TPU), losses always f32.
@@ -77,6 +77,7 @@ class Trainer:
         self.val_flag = val_flag
         self.col_wt = col_wt
         self.col_distance = col_distance
+        self.orbax = orbax
 
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed + 1)
@@ -359,6 +360,11 @@ class Trainer:
         model = copy.copy(self.model)
         model.compute_dtype = None
         LSTMPredictor(model, self.params).save(state, filename)
+        if self.orbax:
+            # TPU-native alternative sidecar (SURVEY §5.4): atomic directory
+            # checkpoint, restorable with utils.checkpoint.load_orbax and
+            # consumable by --load-full-state workflows on pods
+            ckpt.save_orbax(state, filename + ".orbax")
 
     def get_lr(self, epoch: int) -> float:
         return float(self.lr_schedule(epoch))
@@ -463,6 +469,10 @@ def add_arguments(parser, default_epochs=25):
     parser.add_argument("--augment_noise", action="store_true")
     parser.add_argument("--obs_dropout", action="store_true")
 
+    parser.add_argument("--orbax", action="store_true",
+                        help="also write each checkpoint's training state as "
+                             "an Orbax directory (<out>.orbax) next to the "
+                             "reference-style pickle")
     parser.add_argument("--bf16", action="store_true",
                         help="mixed-precision training: bf16 forward/backward "
                              "on the MXU with f32 master params, optimizer "
@@ -600,13 +610,20 @@ def main(epochs=25, argv=None):
         start_length=args.start_length, obs_dropout=args.obs_dropout,
         augment_noise=args.augment_noise, val_flag=val_flag, col_wt=args.col_wt,
         col_distance=args.col_distance, seed=args.seed, mesh=mesh,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, orbax=args.orbax,
     )
 
     if args.load_full_state:
         print("Loading Optimizer Dict")
         state = ckpt.load_state(args.load_full_state)
-        trainer.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        restored = jax.tree.map(jnp.asarray, state["opt_state"])
+        if os.path.isdir(args.load_full_state):
+            # Orbax stores plain containers; rebuild the optimizer's pytree
+            # structure (optax NamedTuples) around the restored leaves
+            restored = jax.tree.unflatten(
+                jax.tree.structure(trainer.opt_state), jax.tree.leaves(restored)
+            )
+        trainer.opt_state = restored
         start_epoch = state["epoch"]
 
     train_ds = SceneDataset(train_scenes, train_goals, args.obs_length, args.normalize_scene)

@@ -54,6 +54,15 @@ def load_predictor(filename: str):
 
 
 def load_state(filename: str) -> Dict:
+    """Training-state restore: pickle sidecar, or an Orbax directory.
+
+    All three trainer restore flags accept either format — a path ending in
+    ``.orbax`` (or any directory) loads through the Orbax backend.
+    """
+    import os
+
+    if os.path.isdir(filename):
+        return load_orbax(filename)
     with open(filename, "rb") as f:
         return pickle.load(f)
 
