@@ -109,3 +109,38 @@ def test_bf16_step_tracks_f32_step():
     # masters stayed full precision under mixed precision
     for leaf in jax.tree.leaves(results["bf16"][0]):
         assert np.asarray(leaf).dtype in (np.float32, np.float64)
+
+
+def test_bf16_sgan_trainer_smoke(data_tree):
+    from trajnetplusplusbaselines_tpu.trainers import sgan as sgan_trainer
+
+    sgan_trainer.main(argv=[
+        "--epochs", "1", "--path", "synthset", "--type", "vanilla",
+        "--batch_size", "2", "--save_every", "1", "-o", "bf16",
+        "--k", "2", "--bf16",
+    ])
+    out = "OUTPUT_BLOCK/synthset/sgan_vanilla_bf16.pkl"
+    assert os.path.exists(out)
+    from trajnetplusplusbaselines_tpu.utils.checkpoint import load_predictor
+
+    predictor = load_predictor(out)
+    assert predictor.model.generator.compute_dtype is None
+    assert predictor.model.discriminator.compute_dtype is None
+    leaf = jax.tree.leaves(predictor.params)[0]
+    assert np.asarray(leaf).dtype in (np.float32, np.float64)
+
+
+def test_bf16_vae_trainer_smoke(data_tree):
+    from trajnetplusplusbaselines_tpu.trainers import vae as vae_trainer
+
+    vae_trainer.main(argv=[
+        "--epochs", "1", "--path", "synthset", "--type", "vanilla",
+        "--batch_size", "2", "--save_every", "1", "-o", "bf16",
+        "--k", "2", "--bf16",
+    ])
+    out = "OUTPUT_BLOCK/synthset/vae_vanilla_bf16.pkl"
+    assert os.path.exists(out)
+    from trajnetplusplusbaselines_tpu.utils.checkpoint import load_predictor
+
+    predictor = load_predictor(out)
+    assert predictor.model.compute_dtype is None

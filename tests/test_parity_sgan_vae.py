@@ -120,7 +120,7 @@ def pin_noise(monkeypatch, ref, k):
         ref_calls[0] += 1
         return z
 
-    def our_get_noise(key, shape, noise_type):
+    def our_get_noise(key, shape, noise_type, dtype=None):
         z = jnp.asarray(zs[our_calls[0] % k])
         our_calls[0] += 1
         return z

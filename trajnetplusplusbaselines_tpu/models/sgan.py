@@ -23,11 +23,12 @@ from ..ops.core import init_lstm_cell, init_mlp, linear, lstm_cell, mlp
 from .lstm import LSTM
 
 
-def get_noise(key, shape, noise_type: str):
+def get_noise(key, shape, noise_type: str, dtype=None):
+    dtype = dtype or jnp.zeros(0).dtype
     if noise_type == "gaussian":
-        return jax.random.normal(key, shape)
+        return jax.random.normal(key, shape, dtype)
     if noise_type == "uniform":
-        return jax.random.uniform(key, shape, minval=-1.0, maxval=1.0)
+        return jax.random.uniform(key, shape, dtype, minval=-1.0, maxval=1.0)
     raise ValueError(f'Unrecognized noise type "{noise_type}"')
 
 
@@ -53,7 +54,7 @@ class LSTMGenerator(LSTM):
         if self.no_noise:
             return h
         new_h = mlp(params["mlp_decoder_context"], h)  # [S, A, H - noise]
-        z = get_noise(key, (self.noise_dim,), self.noise_type)
+        z = get_noise(key, (self.noise_dim,), self.noise_type, h.dtype)
         z = jnp.broadcast_to(z, h.shape[:-1] + (self.noise_dim,))
         return jnp.concatenate([new_h, z], axis=-1)
 
@@ -136,8 +137,14 @@ class LSTMDiscriminator(LSTM):
     def score(self, params, observed, observed_mask, prediction, prediction_mask,
               goals, slot_mask):
         """Returns [S] scores of the primary track per scene."""
-        xy = jnp.concatenate([observed, prediction], axis=0)
+        # promote like forward() does: the scan carry must match the cell's
+        # compute dtype even when raw f32 observations meet bf16 predictions
+        dt = getattr(self, "compute_dtype", None) or jnp.zeros(0).dtype
+        xy = jnp.concatenate(
+            [jnp.asarray(observed, dt), jnp.asarray(prediction, dt)], axis=0
+        )
         mask = jnp.concatenate([observed_mask, prediction_mask], axis=0)
+        goals = jnp.asarray(goals, dt)
         s, a = xy.shape[1], xy.shape[2]
         carry = self.init_carry(s, a)
         carry, _, _, _, _ = self.encode(params, carry, xy, mask, goals, slot_mask)
@@ -157,6 +164,11 @@ class SGAN:
         self.k = k
         self.d_steps = d_steps
         self.g_steps = g_steps
+
+    def with_dtype(self, dtype):
+        self.generator.with_dtype(dtype)
+        self.discriminator.with_dtype(dtype)
+        return self
 
     def init_params(self, key) -> Dict:
         k1, k2 = jax.random.split(key)

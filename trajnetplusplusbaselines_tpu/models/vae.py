@@ -61,10 +61,10 @@ class VAE(LSTM):
 
     def sample_latent(self, key, z_mu, z_log_var, training: bool):
         if training:
-            eps = jax.random.normal(key, z_mu.shape)
+            eps = jax.random.normal(key, z_mu.shape, z_mu.dtype)
             return z_mu + jnp.exp(0.5 * z_log_var) * eps
         # test time, desire=True: mu=0, log var=1 -> std = e^0.5 (vae.py:280-284)
-        return jax.random.normal(key, z_mu.shape) * jnp.exp(0.5 * z_log_var)
+        return jax.random.normal(key, z_mu.shape, z_mu.dtype) * jnp.exp(0.5 * z_log_var)
 
     def forward(self, params, observed, observed_mask, goals, slot_mask,
                 prediction_truth=None, prediction_truth_mask=None, n_predict=None,
@@ -130,8 +130,8 @@ class VAE(LSTM):
             z_distr_xy = jnp.concatenate([z_mu, z_var_log], axis=-1)
 
         z_distr_x = None
-        z_mu_obs = jnp.zeros((s, a, self.latent_dim))
-        z_var_log_obs = jnp.ones((s, a, self.latent_dim))
+        z_mu_obs = jnp.zeros((s, a, self.latent_dim), carry.h.dtype)
+        z_var_log_obs = jnp.ones((s, a, self.latent_dim), carry.h.dtype)
         if not self.desire:
             z_mu_obs, z_var_log_obs = self.vae_encode(params["vae_encoder_x"], carry.h)
             z_distr_x = jnp.concatenate([z_mu_obs, z_var_log_obs], axis=-1)

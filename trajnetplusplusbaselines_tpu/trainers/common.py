@@ -351,6 +351,22 @@ def cast_compute(params, compute_dtype):
     )
 
 
+def outputs_f32(tree, compute_dtype):
+    """Cast compute-dtype leaves of a forward's outputs back to f32 so every
+    loss accumulates in full precision (identity when mixed precision is
+    off)."""
+    if compute_dtype is None:
+        return tree
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == compute_dtype else x,
+        tree,
+    )
+
+
 def step_lr(lr: float, step_size: Optional[int], gamma: float = 0.1):
     """StepLR schedule over epochs: lr * gamma^(epoch // step_size)."""
 

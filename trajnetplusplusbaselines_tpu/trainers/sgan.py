@@ -25,6 +25,8 @@ from ..models.sgan import SGAN, LSTMDiscriminator, LSTMGenerator, SGANPredictor
 from ..ops.pooling import make_pool
 from ..utils import checkpoint as ckpt
 from .common import (
+    outputs_f32,
+    cast_compute,
     ResidentDataset,
     SceneDataset,
     enable_compilation_cache,
@@ -43,8 +45,11 @@ class Trainer:
                  d_schedule, criterion="L2", batch_size=8, obs_length=9,
                  pred_length=12, augment=True, normalize_scene=False, save_every=1,
                  start_length=0, obs_dropout=False, augment_noise=False,
-                 val_flag=True, seed=42):
+                 val_flag=True, seed=42, compute_dtype=None):
         self.model = model
+        # mixed precision (trainers/common.py cast_compute/outputs_f32):
+        # bf16 forward/backward for BOTH networks, f32 masters and losses
+        self.compute_dtype = compute_dtype
         self.params = params
         self.g_optimizer = g_optimizer
         self.d_optimizer = d_optimizer
@@ -96,11 +101,12 @@ class Trainer:
         observed_mask = mask[self.start_length : self.obs_length]
         truth = xy[self.obs_length :]
         truth_mask = mask[self.obs_length :]
-        return self.model.forward(
-            params, observed, observed_mask, goals, slot_mask,
+        return outputs_f32(self.model.forward(
+            cast_compute(params, self.compute_dtype), observed, observed_mask,
+            goals, slot_mask,
             prediction_truth=truth, prediction_truth_mask=truth_mask,
             step_type=step_type, pred_length=self.pred_length, key=key,
-        )
+        ), self.compute_dtype)
 
     def _make_step(self, step_type, shape_key):
         if step_type == "g":
@@ -215,12 +221,13 @@ class Trainer:
 
     def _val_step_core(self):
         def step_core(params, xy, mask, goals, slot, scene, key):
-            rel_list, _, _, _, _ = self.model.forward(
-                params, xy[self.start_length : self.obs_length],
+            rel_list, _, _, _, _ = outputs_f32(self.model.forward(
+                cast_compute(params, self.compute_dtype),
+                xy[self.start_length : self.obs_length],
                 mask[self.start_length : self.obs_length],
                 goals, slot, n_predict=self.pred_length,
                 pred_length=self.pred_length, key=key,
-            )
+            ), self.compute_dtype)
             return params, self.variety_loss(rel_list, xy, scene)
 
         return step_core
@@ -280,7 +287,15 @@ class Trainer:
             "g_opt_state": self.g_opt_state,
             "d_opt_state": self.d_opt_state,
         }
-        SGANPredictor(self.model, self.params).save(state, filename)
+        # predictor pickles evaluate in f32 regardless of training dtype
+        import copy
+
+        model = copy.copy(self.model)
+        model.generator = copy.copy(model.generator)
+        model.discriminator = copy.copy(model.discriminator)
+        model.generator.compute_dtype = None
+        model.discriminator.compute_dtype = None
+        SGANPredictor(model, self.params).save(state, filename)
 
     def train(self, scenes: SceneDataset, epoch: int):
         start_time = time.time()
@@ -448,6 +463,9 @@ def main(epochs=25, argv=None):
     )
     model = SGAN(generator, discriminator, k=args.k,
                  d_steps=args.d_steps, g_steps=args.g_steps)
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
+    if compute_dtype is not None:
+        model.with_dtype(compute_dtype)
     params = model.init_params(jax.random.PRNGKey(args.seed))
 
     g_optimizer = make_optimizer(weight_decay=1e-4, clip_grad=args.clip_grad)
@@ -473,6 +491,7 @@ def main(epochs=25, argv=None):
         normalize_scene=args.normalize_scene, save_every=args.save_every,
         start_length=args.start_length, obs_dropout=args.obs_dropout,
         augment_noise=args.augment_noise, val_flag=val_flag, seed=args.seed,
+        compute_dtype=compute_dtype,
     )
 
     if args.load_full_state:

@@ -24,6 +24,8 @@ from ..models.vae import VAE, VAEPredictor
 from ..ops.pooling import make_pool
 from ..utils import checkpoint as ckpt
 from .common import (
+    outputs_f32,
+    cast_compute,
     ResidentDataset,
     SceneDataset,
     log_process_record,
@@ -41,8 +43,10 @@ class Trainer:
                  batch_size=8, obs_length=9, pred_length=12, augment=True,
                  normalize_scene=False, save_every=1, start_length=0,
                  obs_dropout=False, augment_noise=False, alpha_kld=1.0,
-                 val_flag=True, seed=42):
+                 val_flag=True, seed=42, compute_dtype=None):
         self.model = model
+        # mixed precision (trainers/common.py cast_compute/outputs_f32)
+        self.compute_dtype = compute_dtype
         self.params = params
         self.optimizer = optimizer
         self.opt_state = optimizer.init(params)
@@ -76,11 +80,12 @@ class Trainer:
         observed_mask = mask[start_length : self.obs_length]
         truth = xy[self.obs_length : self.seq_length - 1]
         truth_mask = mask[self.obs_length : self.seq_length - 1]
-        rel_list, _, _, z_distr_xy, z_distr_x = self.model.forward(
-            params, observed, observed_mask, goals, slot_mask,
+        rel_list, _, _, z_distr_xy, z_distr_x = outputs_f32(self.model.forward(
+            cast_compute(params, self.compute_dtype), observed, observed_mask,
+            goals, slot_mask,
             prediction_truth=truth, prediction_truth_mask=truth_mask,
             key=key, training=training,
-        )
+        ), self.compute_dtype)
 
         targets = (
             xy[self.obs_length : self.seq_length, :, 0]
@@ -197,7 +202,12 @@ class Trainer:
 
     def save_checkpoint(self, epoch, filename):
         state = {"epoch": epoch, "params": self.params, "opt_state": self.opt_state}
-        VAEPredictor(self.model, self.params).save(state, filename)
+        # predictor pickles evaluate in f32 regardless of training dtype
+        import copy
+
+        model = copy.copy(self.model)
+        model.compute_dtype = None
+        VAEPredictor(model, self.params).save(state, filename)
 
     def train(self, scenes: SceneDataset, epoch: int):
         start_time = time.time()
@@ -338,6 +348,9 @@ def main(epochs=25, argv=None):
         pool=pool, goal_flag=args.goals, goal_dim=args.goal_dim,
         num_modes=args.k, latent_dim=args.vae_latent_dim,
     )
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
+    if compute_dtype is not None:
+        model.with_dtype(compute_dtype)
     params = model.init_params(jax.random.PRNGKey(args.seed))
 
     optimizer = make_optimizer(weight_decay=1e-4, clip_grad=args.clip_grad)
@@ -361,7 +374,7 @@ def main(epochs=25, argv=None):
         normalize_scene=args.normalize_scene, save_every=args.save_every,
         start_length=args.start_length, obs_dropout=args.obs_dropout,
         augment_noise=args.augment_noise, alpha_kld=args.alpha_kld,
-        val_flag=val_flag, seed=args.seed,
+        val_flag=val_flag, seed=args.seed, compute_dtype=compute_dtype,
     )
 
     if args.load_full_state:
