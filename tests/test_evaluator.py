@@ -180,24 +180,23 @@ def test_multiprocess_prediction_fanout(dataset_tree, monkeypatch):
 
     import trajnetplusplusbaselines_tpu.parallel.multihost as mh
 
-    written = {}
     for pi in range(2):
         monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
         monkeypatch.setattr(jax, "process_count", lambda: 2)
         # fresh model dir state only on the first simulated host
         get_predictions({"cvmp_modes1": cv_predictor}, args)
-        written[pi] = sorted(os.listdir(
-            os.path.join(args.path, "cvmp_modes1.tmp")
-        )) if os.path.exists(os.path.join(args.path, "cvmp_modes1.tmp")) else None
 
-    # process 0 wrote its slice into tmp, predicted datasets differ per host,
-    # and after the simulated second host the rename was published by p0...
-    # (sequential simulation: p0 ran to completion first, including rename)
     model_dir = os.path.join(args.path, "cvmp_modes1")
     assert os.path.exists(model_dir)
     files = sorted(os.listdir(model_dir))
-    # process 0 owned ceil(2/2)=1 dataset; process 1 skipped (dir existed)
-    assert files and set(files) <= {"synth.ndjson", "synth2.ndjson"}
+    # the published dir holds EXACTLY process 0's 1-dataset slice (host 0
+    # renamed at the end of its sequentially-simulated run; host 1 then saw
+    # the published dir and skipped -- no .tmp left behind either)
+    import trajnetplusplusbaselines_tpu.parallel.multihost as _mh
+    datasets_all = list_test_datasets(args.path)
+    expected = [d + ".ndjson" for d in _mh.shard_items(datasets_all, 0, 2)]
+    assert files == sorted(expected)
+    assert not os.path.exists(model_dir + ".tmp")
     assert any(b.startswith("pred-start") for b in barriers)
     assert any(b.startswith("published") for b in barriers)
 

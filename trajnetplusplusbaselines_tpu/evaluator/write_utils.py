@@ -22,7 +22,7 @@ def _test_root(path: str) -> str:
 def load_test_datasets(dataset: str, goal_flag: bool, args):
     """Load the scenes of one test dataset (and optional goal files)."""
     test_root = _test_root(args.path)
-    dataset_name = dataset.replace(test_root + "test/", "") + ".ndjson"
+    dataset_name = dataset + ".ndjson"  # dataset is always a bare stem here
     reader = Reader(test_root + dataset + ".ndjson", scene_type="paths")
     scenes = [(dataset, s_id, s) for s_id, s in reader.scenes()]
 

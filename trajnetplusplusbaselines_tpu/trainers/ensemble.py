@@ -34,6 +34,7 @@ from ..ops.pooling import make_pool
 from .common import (
     ResidentDataset,
     cast_compute,
+    outputs_f32,
     SceneDataset,
     enable_compilation_cache,
     log_process_record,
@@ -94,8 +95,7 @@ class EnsembleTrainer:
             prediction_truth=xy[self.obs_length : self.seq_length - 1],
             prediction_truth_mask=mask[self.obs_length : self.seq_length - 1],
         )
-        if self.compute_dtype is not None:
-            rel = rel.astype(jnp.float32)
+        rel = outputs_f32(rel, self.compute_dtype)
         targets = (
             xy[self.obs_length : self.seq_length, :, 0]
             - xy[self.obs_length - 1 : self.seq_length - 1, :, 0]

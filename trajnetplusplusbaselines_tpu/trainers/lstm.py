@@ -30,6 +30,7 @@ from ..utils import checkpoint as ckpt
 from .common import (
     ResidentDataset,
     cast_compute,
+    outputs_f32,
     SceneDataset,
     chunk_sizes_for,
     enable_compilation_cache,
@@ -129,9 +130,7 @@ class Trainer:
         return cast_compute(params, self.compute_dtype)
 
     def _outputs_f32(self, rel, pred, valid):
-        if self.compute_dtype is None:
-            return rel, pred, valid
-        return rel.astype(jnp.float32), pred.astype(jnp.float32), valid
+        return outputs_f32((rel, pred, valid), self.compute_dtype)
 
     def _forward_train(self, params, xy, mask, goals, slot_mask, start_length):
         observed = xy[start_length : self.obs_length]
@@ -615,15 +614,16 @@ def main(epochs=25, argv=None):
 
     if args.load_full_state:
         print("Loading Optimizer Dict")
-        state = ckpt.load_state(args.load_full_state)
-        restored = jax.tree.map(jnp.asarray, state["opt_state"])
-        if os.path.isdir(args.load_full_state):
-            # Orbax stores plain containers; rebuild the optimizer's pytree
-            # structure (optax NamedTuples) around the restored leaves
-            restored = jax.tree.unflatten(
-                jax.tree.structure(trainer.opt_state), jax.tree.leaves(restored)
-            )
-        trainer.opt_state = restored
+        template = {
+            "epoch": 0,
+            "params": jax.device_get(trainer.params),
+            "opt_state_hyper": {"learning_rate": 0.0},
+            "opt_state": jax.device_get(trainer.opt_state),
+        }
+        state = ckpt.load_full_state(args.load_full_state, template)
+        trainer.opt_state = ckpt.restore_opt_state(
+            state["opt_state"], trainer.opt_state
+        )
         start_epoch = state["epoch"]
 
     train_ds = SceneDataset(train_scenes, train_goals, args.obs_length, args.normalize_scene)

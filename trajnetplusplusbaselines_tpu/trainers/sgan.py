@@ -45,11 +45,12 @@ class Trainer:
                  d_schedule, criterion="L2", batch_size=8, obs_length=9,
                  pred_length=12, augment=True, normalize_scene=False, save_every=1,
                  start_length=0, obs_dropout=False, augment_noise=False,
-                 val_flag=True, seed=42, compute_dtype=None):
+                 val_flag=True, seed=42, compute_dtype=None, orbax=False):
         self.model = model
         # mixed precision (trainers/common.py cast_compute/outputs_f32):
         # bf16 forward/backward for BOTH networks, f32 masters and losses
         self.compute_dtype = compute_dtype
+        self.orbax = orbax
         self.params = params
         self.g_optimizer = g_optimizer
         self.d_optimizer = d_optimizer
@@ -296,6 +297,8 @@ class Trainer:
         model.generator.compute_dtype = None
         model.discriminator.compute_dtype = None
         SGANPredictor(model, self.params).save(state, filename)
+        if self.orbax:
+            ckpt.save_orbax(state, filename + ".orbax")
 
     def train(self, scenes: SceneDataset, epoch: int):
         start_time = time.time()
@@ -491,14 +494,24 @@ def main(epochs=25, argv=None):
         normalize_scene=args.normalize_scene, save_every=args.save_every,
         start_length=args.start_length, obs_dropout=args.obs_dropout,
         augment_noise=args.augment_noise, val_flag=val_flag, seed=args.seed,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, orbax=args.orbax,
     )
 
     if args.load_full_state:
         print("Loading Optimizer Dict")
-        state = ckpt.load_state(args.load_full_state)
-        trainer.g_opt_state = jax.tree.map(jnp.asarray, state["g_opt_state"])
-        trainer.d_opt_state = jax.tree.map(jnp.asarray, state["d_opt_state"])
+        template = {
+            "epoch": 0,
+            "params": jax.device_get(trainer.params),
+            "g_opt_state": jax.device_get(trainer.g_opt_state),
+            "d_opt_state": jax.device_get(trainer.d_opt_state),
+        }
+        state = ckpt.load_full_state(args.load_full_state, template)
+        trainer.g_opt_state = ckpt.restore_opt_state(
+            state["g_opt_state"], trainer.g_opt_state
+        )
+        trainer.d_opt_state = ckpt.restore_opt_state(
+            state["d_opt_state"], trainer.d_opt_state
+        )
         start_epoch = state["epoch"]
 
     train_ds = SceneDataset(train_scenes, train_goals, args.obs_length, args.normalize_scene)

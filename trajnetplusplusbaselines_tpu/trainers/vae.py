@@ -43,10 +43,11 @@ class Trainer:
                  batch_size=8, obs_length=9, pred_length=12, augment=True,
                  normalize_scene=False, save_every=1, start_length=0,
                  obs_dropout=False, augment_noise=False, alpha_kld=1.0,
-                 val_flag=True, seed=42, compute_dtype=None):
+                 val_flag=True, seed=42, compute_dtype=None, orbax=False):
         self.model = model
         # mixed precision (trainers/common.py cast_compute/outputs_f32)
         self.compute_dtype = compute_dtype
+        self.orbax = orbax
         self.params = params
         self.optimizer = optimizer
         self.opt_state = optimizer.init(params)
@@ -208,6 +209,8 @@ class Trainer:
         model = copy.copy(self.model)
         model.compute_dtype = None
         VAEPredictor(model, self.params).save(state, filename)
+        if self.orbax:
+            ckpt.save_orbax(state, filename + ".orbax")
 
     def train(self, scenes: SceneDataset, epoch: int):
         start_time = time.time()
@@ -375,12 +378,20 @@ def main(epochs=25, argv=None):
         start_length=args.start_length, obs_dropout=args.obs_dropout,
         augment_noise=args.augment_noise, alpha_kld=args.alpha_kld,
         val_flag=val_flag, seed=args.seed, compute_dtype=compute_dtype,
+        orbax=args.orbax,
     )
 
     if args.load_full_state:
         print("Loading Optimizer Dict")
-        state = ckpt.load_state(args.load_full_state)
-        trainer.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        template = {
+            "epoch": 0,
+            "params": jax.device_get(trainer.params),
+            "opt_state": jax.device_get(trainer.opt_state),
+        }
+        state = ckpt.load_full_state(args.load_full_state, template)
+        trainer.opt_state = ckpt.restore_opt_state(
+            state["opt_state"], trainer.opt_state
+        )
         start_epoch = state["epoch"]
 
     train_ds = SceneDataset(train_scenes, train_goals, args.obs_length, args.normalize_scene)

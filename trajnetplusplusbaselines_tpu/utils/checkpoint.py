@@ -81,13 +81,54 @@ def save_orbax(state: Dict, directory: str) -> None:
     checkpointer.save(os.path.abspath(directory), _to_host(state), force=True)
 
 
-def load_orbax(directory: str) -> Dict:
+def load_orbax(directory: str, item=None) -> Dict:
+    """Restore an Orbax state dir; ``item`` (a template pytree) restores
+    directly into that structure instead of plain dicts."""
     import os
 
     import orbax.checkpoint as ocp
 
     checkpointer = ocp.PyTreeCheckpointer()
-    return checkpointer.restore(os.path.abspath(directory))
+    return checkpointer.restore(os.path.abspath(directory), item=item)
+
+
+def load_full_state(path: str, template=None) -> Dict:
+    """Full-state restore for --load-full-state: pickle file or Orbax dir.
+
+    ``template`` (the trainer's live state dict, same keys as its
+    save_checkpoint) makes an Orbax restore land directly in the optimizer's
+    NamedTuple structure — no reliance on dict-key order.
+    """
+    import os
+
+    if os.path.isdir(path):
+        return load_orbax(path, item=template)
+    return load_state(path)
+
+
+def restore_opt_state(restored, opt_state_template):
+    """Re-seat a restored optimizer state in the optimizer's pytree structure.
+
+    Pass-through when the structure already matches (pickle restores, or
+    Orbax restores that went through a ``template``).  The unflatten
+    fallback covers legacy Orbax dirs restored WITHOUT a template, where
+    NamedTuples came back as plain dicts; it assumes the alphabetical
+    leaf order matches field order (true for the optax chain
+    make_optimizer builds) and fails loudly on a leaf-count mismatch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    restored = jax.tree.map(jnp.asarray, restored)
+    target = jax.tree.structure(opt_state_template)
+    if jax.tree.structure(restored) == target:
+        return restored
+    leaves = jax.tree.leaves(restored)
+    assert len(leaves) == target.num_leaves, (
+        f"restored opt_state has {len(leaves)} leaves, optimizer expects "
+        f"{target.num_leaves}"
+    )
+    return jax.tree.unflatten(target, leaves)
 
 
 def merge_params_nonstrict(init_params, loaded_params) -> Tuple[Any, list]:
