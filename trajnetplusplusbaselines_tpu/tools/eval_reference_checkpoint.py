@@ -54,6 +54,8 @@ def main(argv=None):
     parser.add_argument("--labels", required=False, nargs="+")
     parser.add_argument("--normalize_scene", action="store_true")
     parser.add_argument("--modes", default=1, type=int)
+    parser.add_argument("--module", default="lstm", choices=("lstm", "sgan"),
+                        help="which reference engine produced the checkpoint")
     parser.add_argument("--data_root", default=None)
     args = parser.parse_args(argv)
 
@@ -74,6 +76,13 @@ def main(argv=None):
         ensure_data_block(args.data_root, "DATA_BLOCK", [dataset])
     os.makedirs(args.path, exist_ok=True)
 
+    if args.module == "sgan":
+        predictor_cls = trajnetbaselines.sgan.SGANPredictor
+        safe_cls = trajnetbaselines.sgan.sgan.SGANPredictor
+    else:
+        predictor_cls = trajnetbaselines.lstm.LSTMPredictor
+        safe_cls = trajnetbaselines.lstm.lstm.LSTMPredictor
+
     predictors = {}
     for model_path in args.output:
         name = (
@@ -86,17 +95,17 @@ def main(argv=None):
         import torch
 
         with torch.serialization.safe_globals(
-            [trajnetbaselines.lstm.lstm.LSTMPredictor]
+            [safe_cls]
         ) if hasattr(torch.serialization, "safe_globals") else _nullcontext():
             try:
-                predictor = trajnetbaselines.lstm.LSTMPredictor.load(model_path)
+                predictor = predictor_cls.load(model_path)
             except Exception:
                 import functools
 
                 orig = torch.load
                 torch.load = functools.partial(orig, weights_only=False)
                 try:
-                    predictor = trajnetbaselines.lstm.LSTMPredictor.load(model_path)
+                    predictor = predictor_cls.load(model_path)
                 finally:
                     torch.load = orig
         predictors[name] = _ReferencePredictor(predictor, args)
