@@ -80,9 +80,11 @@ train_ensemble directional
 train_ensemble vanilla
 train_ensemble nn_lstm --neigh 4
 # S-Attn recipe: RESULTS.md "The S-Attn instability, diagnosed" — logit soft
-# cap + spike-only clip (healthy epoch-max grad norm is <=341; spikes 26-31k)
-train_ensemble attentionmlp --spatial_dim 32 --vel_dim 32 --lr 3e-4 --attn_logit_cap 25 --clip_grad 400
-train_ensemble social --n 16 --embedding_arch two_layer --layer_dims 1024
+# cap + spike-only clip (healthy epoch-max grad norm is <=341; spikes 26-31k).
+# --remat: the 5-member vmapped attention ensemble OOMs HBM without it
+# (24.6G vs 15.75G; models/lstm.py remat note).
+train_ensemble attentionmlp --spatial_dim 32 --vel_dim 32 --lr 3e-4 --attn_logit_cap 25 --clip_grad 400 --remat
+train_ensemble social --n 16 --embedding_arch two_layer --layer_dims 1024 --remat
 for seed in $SEEDS; do
   train sgan sgan directional "$seed" --k 3 --d_steps 1 --g_steps 1
 done

@@ -105,4 +105,39 @@ assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 digest = np.array([float(np.asarray(l).sum()) for l in leaves])
 assert mh.all_processes_agree(digest), "params diverged across hosts"
 
+# ---- multi-host checkpoint save: collective gather + process-0-only write ----
+# With tp=2 on the global mesh the TP-sharded weights span devices on BOTH
+# processes, so they are not fully addressable from either; save_checkpoint
+# must allgather them (utils/checkpoint._to_host) and only process 0 may
+# touch the filesystem (concurrent writes to a shared path would corrupt).
+import tempfile
+
+from jax.experimental import multihost_utils
+
+trainer_tp = Trainer(
+    model, model.init_params(jax.random.PRNGKey(1)), make_optimizer(),
+    step_lr(1e-3, 10), batch_size=8, augment=True, save_every=10**9,
+    val_flag=False, seed=7, mesh=make_mesh(4, dp=2, tp=2),
+)
+trainer_tp.train(ds, epoch=0)
+w_ih = trainer_tp.params["encoder"]["w_ih"]
+assert not w_ih.is_fully_addressable, "expected cross-process TP sharding"
+
+ckpt_path = os.path.join(tempfile.gettempdir(), f"mh_ckpt_{port}.pkl")
+if process_id == 0:
+    for suffix in ("", ".state"):
+        if os.path.exists(ckpt_path + suffix):
+            os.remove(ckpt_path + suffix)
+multihost_utils.sync_global_devices("ckpt-clean")
+trainer_tp.save_checkpoint(epoch=1, filename=ckpt_path)  # collective
+multihost_utils.sync_global_devices("ckpt-saved")
+assert os.path.exists(ckpt_path) and os.path.exists(ckpt_path + ".state")
+from trajnetplusplusbaselines_tpu.utils import checkpoint as ckpt_mod
+
+restored = ckpt_mod.load_predictor(ckpt_path)
+expect = np.asarray(multihost_utils.process_allgather(w_ih, tiled=True))
+np.testing.assert_allclose(
+    np.asarray(restored.params["encoder"]["w_ih"]), expect, atol=0
+)
+
 print(f"process {process_id} ok")

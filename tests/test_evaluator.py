@@ -175,6 +175,9 @@ def test_multiprocess_prediction_fanout(dataset_tree, monkeypatch):
     monkeypatch.setattr(
         multihost_utils, "sync_global_devices", lambda name: barriers.append(name)
     )
+    # identity broadcast: in this sequential single-runtime simulation each
+    # simulated host's own exists-check IS process 0's published state
+    monkeypatch.setattr(multihost_utils, "broadcast_one_to_all", lambda x: x)
 
     import jax
 

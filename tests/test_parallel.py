@@ -176,6 +176,81 @@ def test_ensemble_sharded_epoch_matches_single_device():
     )
 
 
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+def test_sharded_sgan_epoch_matches_single_device(dp, tp):
+    """Sharded SGAN resident epoch (fused g/d lax.cond step, twin optimizers)
+    reproduces single-device params for both players (VERDICT r3 #3)."""
+    from trajnetplusplusbaselines_tpu.models.sgan import (
+        SGAN, LSTMDiscriminator, LSTMGenerator,
+    )
+    from trajnetplusplusbaselines_tpu.parallel import make_mesh
+    from trajnetplusplusbaselines_tpu.trainers.common import make_optimizer, step_lr
+    from trajnetplusplusbaselines_tpu.trainers.sgan import Trainer as SGANTrainer
+
+    model = SGAN(
+        LSTMGenerator(embedding_dim=32, hidden_dim=32, pool=None, noise_dim=8),
+        LSTMDiscriminator(embedding_dim=32, hidden_dim=32, pool=None),
+        k=2, d_steps=1, g_steps=1,
+    )
+    params0 = model.init_params(jax.random.PRNGKey(0))
+
+    def run(mesh):
+        trainer = SGANTrainer(
+            model, jax.tree.map(jnp.array, params0), make_optimizer(),
+            make_optimizer(), step_lr(1e-3, 10), step_lr(1e-3, 10),
+            batch_size=8, augment=True, save_every=10**9, val_flag=False,
+            seed=7, mesh=mesh,
+        )
+        ds = _MiniDataset()
+        trainer.train(ds, epoch=0)
+        trainer.train(ds, epoch=1)
+        return trainer.params
+
+    ref = run(None)
+    got = run(make_mesh(dp * tp, dp=dp, tp=tp))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-9
+        ),
+        got,
+        ref,
+    )
+
+
+def test_sharded_vae_epoch_matches_single_device():
+    """Sharded VAE resident epoch (reparametrized modes + KLD) reproduces the
+    single-device parameters (VERDICT r3 #3)."""
+    from trajnetplusplusbaselines_tpu.models.vae import VAE
+    from trajnetplusplusbaselines_tpu.parallel import make_mesh
+    from trajnetplusplusbaselines_tpu.trainers.common import make_optimizer, step_lr
+    from trajnetplusplusbaselines_tpu.trainers.vae import Trainer as VAETrainer
+
+    model = VAE(embedding_dim=32, hidden_dim=32, pool=None, num_modes=2,
+                latent_dim=16)
+    params0 = model.init_params(jax.random.PRNGKey(0))
+
+    def run(mesh):
+        trainer = VAETrainer(
+            model, jax.tree.map(jnp.array, params0), make_optimizer(),
+            step_lr(1e-3, 10), batch_size=8, augment=True, save_every=10**9,
+            val_flag=False, seed=7, mesh=mesh,
+        )
+        ds = _MiniDataset()
+        trainer.train(ds, epoch=0)
+        trainer.train(ds, epoch=1)
+        return trainer.params
+
+    ref = run(None)
+    got = run(make_mesh(8, dp=4, tp=2))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-9
+        ),
+        got,
+        ref,
+    )
+
+
 @pytest.mark.parametrize("tp", [1, 2])
 def test_sharded_train_step_matches_single_device(tp):
     """Three DP(+TP) optimizer steps must reproduce the single-device params.

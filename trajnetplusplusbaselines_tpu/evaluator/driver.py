@@ -60,7 +60,16 @@ def get_predictions(predictors: Dict[str, Callable], args) -> None:
 
     for model_name, predictor in predictors.items():
         model_dir = os.path.join(args.path, model_name)
-        if os.path.exists(model_dir):
+        skip = os.path.exists(model_dir)
+        if multiproc:
+            # decide the skip on process 0 and broadcast it: NFS attribute
+            # caching can make model_dir visibility diverge across hosts
+            # right after process 0's rename, and a divergent branch here
+            # would leave the other hosts blocked in the barriers below
+            from ..parallel.multihost import broadcast_from_zero
+
+            skip = bool(broadcast_from_zero(skip))
+        if skip:
             print(f"Predictions corresponding to {model_name} already exist.")
             print("Loading the saved predictions")
             continue

@@ -208,8 +208,9 @@ def collision_test(list_sub, name, args):
 
 def eval(gt, input_file, args):  # noqa: A001 - name kept for API parity
     reader_gt = Reader(gt, scene_type="paths")
-    scenes_gt = [s for _, s in reader_gt.scenes()]
-    scenes_id_gt = [s_id for s_id, _ in reader_gt.scenes()]
+    gt_pairs = list(reader_gt.scenes())  # single parse: (id, scene) pairs
+    scenes_gt = [s for _, s in gt_pairs]
+    scenes_id_gt = [s_id for s_id, _ in gt_pairs]
 
     reader_pred = Reader(input_file, scene_type="paths")
     scenes_pred = [s for _, s in reader_pred.scenes()]

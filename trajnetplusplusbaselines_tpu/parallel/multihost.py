@@ -100,3 +100,21 @@ def all_processes_agree(x) -> bool:
 
     gathered = multihost_utils.process_allgather(np.asarray(x))
     return bool(np.all(gathered == gathered[0]))
+
+
+def broadcast_from_zero(value):
+    """Process 0's host value to every process (single-process: identity).
+
+    For filesystem-derived control-flow decisions (e.g. the evaluator's
+    skip-if-exists check) that must be uniform across hosts: NFS attribute
+    caching can make directory visibility diverge right after process 0
+    publishes a rename, and divergent branches would desynchronize the
+    collective barriers that follow.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(np.asarray(value))

@@ -332,6 +332,62 @@ class SceneDataset:
             yield batching.pack_scenes(xs, gs, pad_scenes_to=batch_size)
 
 
+def validate_mesh_batch(mesh, batch_size: int) -> None:
+    """Mesh batches shard scene-wise: batch_size must divide over 'data'."""
+    if mesh is not None and batch_size % mesh.shape["data"] != 0:
+        raise ValueError(
+            f"batch_size {batch_size} must divide over data axis "
+            f"{mesh.shape['data']}"
+        )
+
+
+def place_plan_on_mesh(mesh, idx, valid):
+    """Shard an epoch plan's [nb, S] index/valid arrays over the data axis.
+
+    Multi-host: every process builds the identical plan (the epoch RNG is
+    seeded the same on all hosts) and put_global materializes only the
+    addressable shards; a digest check turns cross-host seed drift into a
+    loud failure instead of a silently-wrong gather.  mesh=None is the
+    single-device fast path (plain device transfer).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return jnp.asarray(idx), jnp.asarray(valid)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.multihost import all_processes_agree, put_global
+
+    if jax.process_count() > 1:
+        digest = np.array([np.sum(idx), np.sum(valid), idx.shape[0]])
+        if not all_processes_agree(digest):
+            # a safety check, not a debug assert: must survive python -O
+            raise RuntimeError("epoch plan differs across processes (seed drift?)")
+    sh = NamedSharding(mesh, P(None, "data"))
+    return put_global(sh, np.asarray(idx)), put_global(sh, np.asarray(valid))
+
+
+def replicate_on_mesh(mesh, arr):
+    """Fully replicate a host array over the mesh (per-batch scalars/flags)."""
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return jnp.asarray(arr)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.multihost import put_global
+
+    return put_global(NamedSharding(mesh, P()), np.asarray(arr))
+
+
+def shard_carry_on_mesh(mesh, tree):
+    """Apply the TP rule (parallel/mesh.py) to params/optimizer pytrees."""
+    from ..parallel.mesh import shard_params
+
+    return shard_params(mesh, tree)
+
+
 def cast_compute(params, compute_dtype):
     """Mixed precision: float leaves -> compute dtype (identity when None).
 

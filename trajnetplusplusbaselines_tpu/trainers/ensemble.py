@@ -43,6 +43,7 @@ from .common import (
     set_lr,
     setup_logging,
     step_lr,
+    validate_mesh_batch,
 )
 from .lstm import add_arguments
 
@@ -84,8 +85,9 @@ class EnsembleTrainer:
         # [E, ...] parameter layout.
         self.mesh = mesh
         if mesh is not None:
-            assert mesh.shape["model"] == 1, "ensemble trainer supports --dp only"
-            assert batch_size % mesh.shape["data"] == 0
+            if mesh.shape["model"] != 1:
+                raise ValueError("ensemble trainer supports --dp only")
+            validate_mesh_batch(mesh, batch_size)
 
     # ------------------------------------------------------------- step core
     def _loss_fn(self, params, xy, mask, goals, slot, scene):
@@ -262,6 +264,9 @@ def main(epochs=25, argv=None):
                              "checkpoints)")
     args = parser.parse_args(argv)
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     random.seed(args.seeds[0])
     np.random.seed(args.seeds[0])
     enable_compilation_cache()
@@ -304,13 +309,23 @@ def main(epochs=25, argv=None):
     optimizer = make_optimizer(weight_decay=1e-4, clip_grad=args.clip_grad)
     lr_schedule = step_lr(args.lr, args.step_size)
 
+    mesh = None
+    if args.tp > 1:
+        raise SystemExit("ensemble trainer supports --dp only (members are "
+                         "vmapped over the stacked [E, ...] param layout, "
+                         "which the TP rule does not shard)")
+    if args.dp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=args.dp, dp=args.dp, tp=1)
+
     trainer = EnsembleTrainer(
         model, stacked, optimizer, lr_schedule, args.seeds,
         criterion=args.loss, batch_size=args.batch_size,
         obs_length=args.obs_length, pred_length=args.pred_length,
         augment=args.augment, augment_noise=args.augment_noise,
         save_every=args.save_every, val_flag=val_flag,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, mesh=mesh,
     )
 
     train_ds = SceneDataset(train_scenes, train_goals, args.obs_length, args.normalize_scene)

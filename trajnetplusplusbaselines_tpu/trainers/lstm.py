@@ -38,10 +38,13 @@ from .common import (
     log_process_record,
     make_bucket_epoch_runner,
     make_optimizer,
+    place_plan_on_mesh,
     set_lr,
     setup_logging,
+    shard_carry_on_mesh,
     stack_packed,
     step_lr,
+    validate_mesh_batch,
 )
 
 
@@ -94,11 +97,7 @@ class Trainer:
         # (tests/test_parallel.py::test_sharded_resident_epoch_*).
         self.mesh = mesh
         self._mesh_placed = False
-        if mesh is not None:
-            assert batch_size % mesh.shape["data"] == 0, (
-                f"batch_size {batch_size} must divide over data axis "
-                f"{mesh.shape['data']}"
-            )
+        validate_mesh_batch(mesh, batch_size)
 
     # ------------------------------------------------------------- jit steps
     def _loss_from_outputs(self, rel, pred, valid, xy, mask, scene_mask):
@@ -189,34 +188,12 @@ class Trainer:
         """One-time mesh placement of params/opt_state (TP rule + replication)."""
         if self.mesh is None or self._mesh_placed:
             return
-        from ..parallel.mesh import shard_params
-
-        self.params = shard_params(self.mesh, self.params)
-        self.opt_state = shard_params(self.mesh, self.opt_state)
+        self.params = shard_carry_on_mesh(self.mesh, self.params)
+        self.opt_state = shard_carry_on_mesh(self.mesh, self.opt_state)
         self._mesh_placed = True
 
     def _place_plan(self, idx, valid):
-        """Shard the per-batch scene axis [nb, S] over the mesh's data axis.
-
-        Multi-host: every process builds the identical plan (the epoch RNG is
-        seeded the same on all hosts) and put_global materializes only the
-        addressable shards.
-        """
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from ..parallel.multihost import all_processes_agree, put_global
-
-            if jax.process_count() > 1:
-                # seed drift between hosts would make put_global assemble a
-                # plan no single host intended — fail loudly instead
-                digest = np.array([np.sum(idx), np.sum(valid), idx.shape[0]])
-                assert all_processes_agree(digest), (
-                    "epoch plan differs across processes (seed drift?)"
-                )
-            sh = NamedSharding(self.mesh, P(None, "data"))
-            return put_global(sh, np.asarray(idx)), put_global(sh, np.asarray(valid))
-        return jnp.asarray(idx), jnp.asarray(valid)
+        return place_plan_on_mesh(self.mesh, idx, valid)
 
     def _train_step_core(self):
         def loss_fn(params, xy, mask, goals, slot_mask, scene_mask):

@@ -33,9 +33,13 @@ from .common import (
     log_process_record,
     make_bucket_epoch_runner,
     make_optimizer,
+    place_plan_on_mesh,
+    replicate_on_mesh,
     set_lr,
     setup_logging,
+    shard_carry_on_mesh,
     step_lr,
+    validate_mesh_batch,
 )
 from .lstm import add_arguments
 
@@ -45,7 +49,8 @@ class Trainer:
                  d_schedule, criterion="L2", batch_size=8, obs_length=9,
                  pred_length=12, augment=True, normalize_scene=False, save_every=1,
                  start_length=0, obs_dropout=False, augment_noise=False,
-                 val_flag=True, seed=42, compute_dtype=None, orbax=False):
+                 val_flag=True, seed=42, compute_dtype=None, orbax=False,
+                 mesh=None):
         self.model = model
         # mixed precision (trainers/common.py cast_compute/outputs_f32):
         # bf16 forward/backward for BOTH networks, f32 masters and losses
@@ -78,6 +83,24 @@ class Trainer:
         self._step_cache = {}
         self._resident = {}
         self._runner_cache = {}
+
+        # multi-chip: same (data, model) mesh semantics as the LSTM trainer
+        # (trainers/lstm.py) — per-batch scene axis shards over 'data' with
+        # psum gradient reduction, wide weight matrices optionally TP-shard
+        # over 'model'; both players' params/optimizers place identically so
+        # the fused g/d lax.cond step stays a single SPMD program.
+        self.mesh = mesh
+        self._mesh_placed = False
+        validate_mesh_batch(mesh, batch_size)
+
+    def _place_carry(self):
+        """One-time mesh placement of both players' params + optimizers."""
+        if self.mesh is None or self._mesh_placed:
+            return
+        self.params = shard_carry_on_mesh(self.mesh, self.params)
+        self.g_opt_state = shard_carry_on_mesh(self.mesh, self.g_opt_state)
+        self.d_opt_state = shard_carry_on_mesh(self.mesh, self.d_opt_state)
+        self._mesh_placed = True
 
     # ---------------------------------------------------------------- pieces
     def _scene_criterion(self, rel, xy, scene_mask):
@@ -167,7 +190,10 @@ class Trainer:
         # key by id but pin the dataset with a strong reference so a freed
         # object's reused address can never alias a stale cache entry
         if id(scenes) not in self._resident:
-            self._resident[id(scenes)] = (scenes, ResidentDataset(scenes))
+            resident = ResidentDataset(scenes)
+            if self.mesh is not None:
+                resident.place(self.mesh)
+            self._resident[id(scenes)] = (scenes, resident)
         return self._resident[id(scenes)][1]
 
     def _train_step_core(self):
@@ -260,11 +286,15 @@ class Trainer:
                 )
             data = resident.buckets[bkey]
             self.key, sub = jax.random.split(self.key)
-            extras = (jnp.asarray(flags[offset : offset + nb]),) if mode == "train" else ()
+            extras = (
+                (replicate_on_mesh(self.mesh, flags[offset : offset + nb]),)
+                if mode == "train" else ()
+            )
             offset += nb
+            idx_dev, valid_dev = place_plan_on_mesh(self.mesh, idx, valid)
             carry, out = self._runner_cache[rkey](
                 carry, data["xs"], data["mask"], data["goals"],
-                data["num_agents"], jnp.asarray(idx), jnp.asarray(valid), sub,
+                data["num_agents"], idx_dev, valid_dev, sub,
                 *extras,
             )
             outs.append(out)
@@ -308,6 +338,7 @@ class Trainer:
 
         if not self.obs_dropout:
             # resident fast path: whole epoch in one dispatch per bucket
+            self._place_carry()
             carry = (
                 self.params["generator"], self.params["discriminator"],
                 self.g_opt_state, self.d_opt_state,
@@ -396,6 +427,7 @@ class Trainer:
     def val(self, scenes: SceneDataset, epoch: int):
         eval_start = time.time()
 
+        self._place_carry()
         self.params, parts = self._resident_epoch(
             scenes, "val", self.params, shuffle=False
         )
@@ -424,6 +456,9 @@ def main(epochs=25, argv=None):
     gan.add_argument("--g_step_size", default=10, type=int)
     gan.add_argument("--d_step_size", default=10, type=int)
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     random.seed(args.seed)
     np.random.seed(args.seed)
@@ -466,6 +501,7 @@ def main(epochs=25, argv=None):
     )
     model = SGAN(generator, discriminator, k=args.k,
                  d_steps=args.d_steps, g_steps=args.g_steps)
+    generator.remat = discriminator.remat = args.remat
     compute_dtype = jnp.bfloat16 if args.bf16 else None
     if compute_dtype is not None:
         model.with_dtype(compute_dtype)
@@ -487,6 +523,15 @@ def main(epochs=25, argv=None):
             if skipped:
                 print("nonstrict load skipped:", skipped)
 
+    mesh = None
+    if args.dp * args.tp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=args.dp * args.tp, dp=args.dp, tp=args.tp)
+        if args.obs_dropout:
+            raise SystemExit("--obs_dropout uses the chunked host path, which "
+                             "is single-device; drop --dp/--tp")
+
     trainer = Trainer(
         model, params, g_optimizer, d_optimizer, g_schedule, d_schedule,
         criterion=args.loss, batch_size=args.batch_size, obs_length=args.obs_length,
@@ -494,7 +539,7 @@ def main(epochs=25, argv=None):
         normalize_scene=args.normalize_scene, save_every=args.save_every,
         start_length=args.start_length, obs_dropout=args.obs_dropout,
         augment_noise=args.augment_noise, val_flag=val_flag, seed=args.seed,
-        compute_dtype=compute_dtype, orbax=args.orbax,
+        compute_dtype=compute_dtype, orbax=args.orbax, mesh=mesh,
     )
 
     if args.load_full_state:

@@ -31,9 +31,12 @@ from .common import (
     log_process_record,
     make_bucket_epoch_runner,
     make_optimizer,
+    place_plan_on_mesh,
     set_lr,
     setup_logging,
+    shard_carry_on_mesh,
     step_lr,
+    validate_mesh_batch,
 )
 from .lstm import add_arguments
 
@@ -43,7 +46,8 @@ class Trainer:
                  batch_size=8, obs_length=9, pred_length=12, augment=True,
                  normalize_scene=False, save_every=1, start_length=0,
                  obs_dropout=False, augment_noise=False, alpha_kld=1.0,
-                 val_flag=True, seed=42, compute_dtype=None, orbax=False):
+                 val_flag=True, seed=42, compute_dtype=None, orbax=False,
+                 mesh=None):
         self.model = model
         # mixed precision (trainers/common.py cast_compute/outputs_f32)
         self.compute_dtype = compute_dtype
@@ -73,6 +77,20 @@ class Trainer:
         self._step_cache = {}
         self._resident = {}
         self._runner_cache = {}
+
+        # multi-chip: same (data, model) mesh semantics as the LSTM trainer
+        # (trainers/lstm.py) — scene-batch axis over 'data', TP over 'model'.
+        self.mesh = mesh
+        self._mesh_placed = False
+        validate_mesh_batch(mesh, batch_size)
+
+    def _place_carry(self):
+        """One-time mesh placement of params/opt_state (TP rule + replication)."""
+        if self.mesh is None or self._mesh_placed:
+            return
+        self.params = shard_carry_on_mesh(self.mesh, self.params)
+        self.opt_state = shard_carry_on_mesh(self.mesh, self.opt_state)
+        self._mesh_placed = True
 
     def _losses(self, params, xy, mask, goals, slot_mask, scene_mask, key, training,
                 start_length=None):
@@ -134,7 +152,10 @@ class Trainer:
         # key by id but pin the dataset with a strong reference so a freed
         # object's reused address can never alias a stale cache entry
         if id(scenes) not in self._resident:
-            self._resident[id(scenes)] = (scenes, ResidentDataset(scenes))
+            resident = ResidentDataset(scenes)
+            if self.mesh is not None:
+                resident.place(self.mesh)
+            self._resident[id(scenes)] = (scenes, resident)
         return self._resident[id(scenes)][1]
 
     def _resident_epoch(self, scenes, mode, carry, augment=False,
@@ -154,9 +175,10 @@ class Trainer:
                 )
             data = resident.buckets[bkey]
             self.key, sub = jax.random.split(self.key)
+            idx_dev, valid_dev = place_plan_on_mesh(self.mesh, idx, valid)
             carry, out = self._runner_cache[rkey](
                 carry, data["xs"], data["mask"], data["goals"],
-                data["num_agents"], jnp.asarray(idx), jnp.asarray(valid), sub,
+                data["num_agents"], idx_dev, valid_dev, sub,
             )
             outs.append(out)
         return carry, outs
@@ -219,6 +241,7 @@ class Trainer:
 
         if not self.obs_dropout:
             # resident fast path: whole epoch in one dispatch per bucket
+            self._place_carry()
             carry = (self.params, self.opt_state)
             carry, loss_parts = self._resident_epoch(
                 scenes, "train", carry,
@@ -294,6 +317,7 @@ class Trainer:
     def val(self, scenes: SceneDataset, epoch: int):
         eval_start = time.time()
 
+        self._place_carry()
         self.params, parts = self._resident_epoch(
             scenes, "val", self.params, shuffle=False
         )
@@ -316,6 +340,9 @@ def main(epochs=25, argv=None):
     vae_group.add_argument("--vae_latent_dim", type=int, default=128,
                            help="latent dimension of the VAE bottleneck")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     random.seed(args.seed)
     np.random.seed(args.seed)
@@ -351,6 +378,7 @@ def main(epochs=25, argv=None):
         pool=pool, goal_flag=args.goals, goal_dim=args.goal_dim,
         num_modes=args.k, latent_dim=args.vae_latent_dim,
     )
+    model.remat = args.remat
     compute_dtype = jnp.bfloat16 if args.bf16 else None
     if compute_dtype is not None:
         model.with_dtype(compute_dtype)
@@ -370,6 +398,15 @@ def main(epochs=25, argv=None):
             if skipped:
                 print("nonstrict load skipped:", skipped)
 
+    mesh = None
+    if args.dp * args.tp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=args.dp * args.tp, dp=args.dp, tp=args.tp)
+        if args.obs_dropout:
+            raise SystemExit("--obs_dropout uses the chunked host path, which "
+                             "is single-device; drop --dp/--tp")
+
     trainer = Trainer(
         model, params, optimizer, lr_schedule, criterion=args.loss,
         batch_size=args.batch_size, obs_length=args.obs_length,
@@ -378,7 +415,7 @@ def main(epochs=25, argv=None):
         start_length=args.start_length, obs_dropout=args.obs_dropout,
         augment_noise=args.augment_noise, alpha_kld=args.alpha_kld,
         val_flag=val_flag, seed=args.seed, compute_dtype=compute_dtype,
-        orbax=args.orbax,
+        orbax=args.orbax, mesh=mesh,
     )
 
     if args.load_full_state:

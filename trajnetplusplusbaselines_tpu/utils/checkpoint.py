@@ -20,20 +20,42 @@ import numpy as np
 
 
 def _to_host(tree):
-    return jax.tree.map(np.asarray, jax.device_get(tree))
+    """Fetch a pytree to host numpy; multi-host-safe.
+
+    Leaves TP-sharded across hosts are not fully addressable from any single
+    process, so a bare ``device_get`` raises; those leaves are allgathered to
+    every host instead (a collective — every process must reach the save
+    call, which the SPMD trainer loops guarantee).  File writes are then
+    gated on process 0 (save_predictor / save_orbax)."""
+
+    def fetch(leaf):
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            # tiled=True is required for non-fully-addressable inputs; the
+            # result is the fully-replicated global value on every process
+            return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+        return np.asarray(jax.device_get(leaf))
+
+    return jax.tree.map(fetch, tree)
 
 
 def save_predictor(predictor, state, filename: str) -> None:
+    # the gathers inside _to_host are collectives: run them on EVERY process,
+    # then let only process 0 touch the (shared) filesystem
     payload = {
         "predictor_class": type(predictor).__name__,
         "model": predictor.model,
         "params": _to_host(predictor.params),
     }
+    host_state = _to_host(state) if state is not None else None
+    if jax.process_index() != 0:
+        return
     with open(filename, "wb") as f:
         pickle.dump(payload, f)
-    if state is not None:
+    if host_state is not None:
         with open(filename + ".state", "wb") as f:
-            pickle.dump(_to_host(state), f)
+            pickle.dump(host_state, f)
 
 
 def load_predictor(filename: str):
@@ -77,8 +99,11 @@ def save_orbax(state: Dict, directory: str) -> None:
 
     import orbax.checkpoint as ocp
 
+    host_state = _to_host(state)  # collective: every process gathers
+    if jax.process_index() != 0:
+        return
     checkpointer = ocp.PyTreeCheckpointer()
-    checkpointer.save(os.path.abspath(directory), _to_host(state), force=True)
+    checkpointer.save(os.path.abspath(directory), host_state, force=True)
 
 
 def load_orbax(directory: str, item=None) -> Dict:
@@ -124,10 +149,12 @@ def restore_opt_state(restored, opt_state_template):
     if jax.tree.structure(restored) == target:
         return restored
     leaves = jax.tree.leaves(restored)
-    assert len(leaves) == target.num_leaves, (
-        f"restored opt_state has {len(leaves)} leaves, optimizer expects "
-        f"{target.num_leaves}"
-    )
+    if len(leaves) != target.num_leaves:
+        # a safety check, not a debug assert: must survive python -O
+        raise ValueError(
+            f"restored opt_state has {len(leaves)} leaves, optimizer expects "
+            f"{target.num_leaves}"
+        )
     return jax.tree.unflatten(target, leaves)
 
 
