@@ -26,12 +26,37 @@ from tests.reference_harness import load_reference  # noqa: E402
 
 load_reference()
 
+
+class _SortedListdirOS:
+    """``os`` proxy whose listdir is sorted.
+
+    The reference enumerates dataset files with a bare ``os.listdir``
+    (/root/reference/trajnetbaselines/lstm/data_load_utils.py:44) while this
+    framework sorts (data/load.py).  With ``--sample`` the per-file
+    ``random.sample`` draws consume the seeded RNG in file order, so an
+    unsorted listing would give the two engines different subsets.  Installing
+    this proxy on the reference's data_load_utils module (harness-level shim;
+    the reference itself is untouched) makes the matched-budget ``--sample``
+    subsets bit-identical across engines.
+    """
+
+    def __getattr__(self, name):
+        return getattr(os, name)
+
+    @staticmethod
+    def listdir(path):
+        return sorted(os.listdir(path))
+
 argv = sys.argv[1:]
 module = "lstm"
 if "--module" in argv:
     i = argv.index("--module")
     module = argv[i + 1]
     argv = argv[:i] + argv[i + 2:]
+
+from trajnetbaselines.lstm import data_load_utils  # noqa: E402
+
+data_load_utils.os = _SortedListdirOS()
 
 if module == "sgan":
     from trajnetbaselines.sgan import trainer  # noqa: E402
