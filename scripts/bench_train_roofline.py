@@ -1,5 +1,3 @@
-import os, sys
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Training roofline sweep (VERDICT r3 #5): A x dtype + ensemble aggregate.
 
 Measures the PRODUCTION resident-epoch training path (batch=8 sequential SGD,
@@ -15,7 +13,11 @@ bind.
 Writes one JSON line per row to stdout and docs/train_roofline_r4.jsonl.
 """
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -54,6 +54,10 @@ if "--module" in argv:
     module = argv[i + 1]
     argv = argv[:i] + argv[i + 2:]
 
+preflight = "--preflight" in argv
+if preflight:
+    argv.remove("--preflight")
+
 from trajnetbaselines.lstm import data_load_utils  # noqa: E402
 
 data_load_utils.os = _SortedListdirOS()
@@ -64,4 +68,47 @@ else:
     from trajnetbaselines.lstm import trainer  # noqa: E402
 
 sys.argv = ["reference_control"] + argv
+
+
+class _PreflightDone(Exception):
+    """Raised by the stubbed prepare_data: argparse + setup succeeded."""
+
+
+if preflight:
+    # Validate the exact argv against the reference trainer's own argparse
+    # without training (VERDICT r4 #7: the round-4 SGAN control burned a
+    # multi-hour slot on a bad flag discovered at launch).  main() is run
+    # up to its first data-loading call, which is stubbed to abort; the
+    # trainer's pre-data side effects (OUTPUT_BLOCK mkdir, mode='w' log
+    # truncation) land in a scratch cwd so a preflight never clobbers a
+    # real run's artifacts.
+    import tempfile
+
+    os.chdir(tempfile.mkdtemp(prefix="refctl_preflight_"))
+
+    def _stop(*a, **k):
+        raise _PreflightDone()
+
+    trainer.prepare_data = _stop
+    try:
+        trainer.main()  # argparse errors exit 2 here on their own
+    except _PreflightDone:
+        print(f"PREFLIGHT OK ({module}): {argv}")
+        sys.exit(0)
+    print("PREFLIGHT FAILED: trainer.main returned before loading data")
+    sys.exit(1)
+
+# Real run: smoke the argv in a throwaway subprocess first so a bad flag
+# dies in seconds, not after hours in a control queue.
+import subprocess  # noqa: E402
+
+rc = subprocess.call(
+    [sys.executable, os.path.abspath(__file__), "--preflight",
+     "--module", module] + argv
+)
+if rc != 0:
+    print(f"reference_control: preflight rejected argv (rc={rc}); not training",
+          file=sys.stderr)
+    sys.exit(rc)
+
 trainer.main()

@@ -32,7 +32,11 @@ train_t() { # prefix module type extra-args...
 
 # Same order as run_reference_control.sh.
 train_t lstm lstm social --n 16 --embedding_arch two_layer --layer_dims 1024
-train_t sgan sgan directional --k 3
+# The SGAN trainer schedules per-optimizer (--g_step_size/--d_step_size);
+# MATCH's --step_size is an LSTM-trainer flag it ignores, so the decay at
+# epoch 3 must be passed explicitly or the control trains at constant LR
+# while the reference side decays (advisor r4, medium).
+train_t sgan sgan directional --k 3 --g_step_size 3 --d_step_size 3
 # S-Attn control carries ONLY the ingredient the reference trainer can also
 # express (--lr); no logit cap, no grad clip (recipe asymmetry documented in
 # RESULTS.md's control section).

@@ -125,3 +125,29 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     restored = ckpt.load_orbax(d)
     assert int(restored["epoch"]) == 3
     np.testing.assert_array_equal(restored["params"]["w"], state["params"]["w"])
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference mount absent")
+def test_reference_control_preflight():
+    """A bad flag must die at preflight in seconds, a good argv must pass —
+    and neither may touch the real OUTPUT_BLOCK (VERDICT r4 #7: two control
+    slots were lost to launch faults the preflight now catches)."""
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "scripts", "reference_control.py")
+    good = [sys.executable, script, "--preflight", "--type", "vanilla",
+            "--path", "trajdata_split", "--seed", "42",
+            "--output", "preflight_unittest"]
+    r = subprocess.run(good, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert "PREFLIGHT OK" in r.stdout
+    # the scratch-cwd guard: nothing written under the repo's OUTPUT_BLOCK
+    assert not os.path.exists(
+        "OUTPUT_BLOCK/trajdata_split/lstm_vanilla_preflight_unittest.pkl.log")
+
+    bad = good[:3] + ["--bogus_flag_that_does_not_exist"]
+    r = subprocess.run(bad, capture_output=True, text=True, timeout=300)
+    assert r.returncode != 0

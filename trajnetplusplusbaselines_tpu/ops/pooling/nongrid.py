@@ -338,21 +338,34 @@ class NMMP:
 
     def apply(self, params, state, hidden, obs1, obs2, present1, present2, slot_mask
               ) -> Tuple[jnp.ndarray, object]:
-        s, a = hidden.shape[:2]
+        a = hidden.shape[1]
         node = jax.nn.relu(linear(params["hidden_embedding"], hidden))  # [S, A, m]
 
         vis = present1 & present2 & slot_mask  # tracks participating in the step
         pair_valid = vis[:, None, :] & vis[:, :, None]
         pair_valid = pair_valid & ~jnp.eye(a, dtype=bool)[None]  # j != i
-        denom = jnp.maximum(jnp.sum(pair_valid, axis=2, keepdims=True), 1)  # [S, A, 1]
+        count = jnp.sum(pair_valid, axis=2, keepdims=True)  # [S, A, 1]
+        denom = jnp.maximum(count, 1)
 
+        # The edge MLP is linear, so the [S, A, A, 2m] pairwise tensor the
+        # naive form materializes (the ensemble trainer's HBM-OOM root cause,
+        # registry.log round 4) never needs to exist:
+        #   e_out(i,j) = linear([n_i; n_j]) = n_i@Wa + n_j@Wb + bias
+        # and its pair_valid-masked mean over j decomposes into per-node
+        # matmuls plus one [A, A] x [A, m] contraction on the MXU.  Same
+        # semantics as the dense form (tests/test_nmmp.py pins the values).
+        w = params["node_to_edge"]["w"]  # [2m, m]
+        bias = params["node_to_edge"]["b"]
+        wa, wb = w[: self.mlp_dim], w[self.mlp_dim :]
+        pv = pair_valid.astype(node.dtype)  # [S, A, A]
+        has_neigh = jnp.where(count > 0, 1.0, 0.0).astype(node.dtype)
         for _ in range(self.k):
-            ni = jnp.broadcast_to(node[:, :, None, :], (s, a, a, self.mlp_dim))
-            nj = jnp.broadcast_to(node[:, None, :, :], (s, a, a, self.mlp_dim))
-            e_out = linear(params["node_to_edge"], jnp.concatenate([ni, nj], axis=-1))
-            e_in = linear(params["node_to_edge"], jnp.concatenate([nj, ni], axis=-1))
-            e_out = jnp.sum(e_out * pair_valid[..., None], axis=2) / denom
-            e_in = jnp.sum(e_in * pair_valid[..., None], axis=2) / denom
+            pa = node @ wa  # [S, A, m]
+            pb = node @ wb
+            neigh_pa = jnp.einsum("sij,sjm->sim", pv, pa) / denom
+            neigh_pb = jnp.einsum("sij,sjm->sim", pv, pb) / denom
+            e_out = (pa + bias) * has_neigh + neigh_pb
+            e_in = (pb + bias) * has_neigh + neigh_pa
             node = linear(params["edge_to_node"], jnp.concatenate([e_in, e_out], axis=-1))
 
         # scenes with <=1 participating track produce no interaction (the

@@ -94,6 +94,11 @@ def main(argv=None):
     parser.add_argument("--cache", default=None,
                         help="per-model metrics cache dir ('' disables; "
                              "default <path>/.metrics_cache)")
+    parser.add_argument("--merge", action="store_true",
+                        help="overlay this run's per-model rows onto an "
+                             "existing --out file instead of replacing it "
+                             "(rows whose prediction dirs are gone from disk "
+                             "survive; groups are recomputed from the union)")
     args = parser.parse_args(argv)
     args.path = "DATA_BLOCK/" + args.path + "/test_pred/"
     if args.cache is None:
@@ -106,6 +111,9 @@ def main(argv=None):
     )
 
     per_model = {}
+    if args.merge and args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            per_model.update(json.load(f).get("per_model", {}))
     for name in models:
         per_model[name] = cached_metrics(name, args)
         m = per_model[name]

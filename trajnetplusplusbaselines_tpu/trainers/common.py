@@ -360,7 +360,16 @@ def place_plan_on_mesh(mesh, idx, valid):
     from ..parallel.multihost import all_processes_agree, put_global
 
     if jax.process_count() > 1:
-        digest = np.array([np.sum(idx), np.sum(valid), idx.shape[0]])
+        # Order-sensitive digest: a sha256 over the raw bytes catches
+        # shuffle-order drift, which sum-based digests are blind to (any
+        # permutation of the same scene indices has identical sums).
+        import hashlib
+
+        h = hashlib.sha256(
+            np.ascontiguousarray(idx).tobytes()
+            + np.ascontiguousarray(valid).tobytes()
+        ).digest()[:16]
+        digest = np.frombuffer(h, dtype=np.uint8).astype(np.int64)
         if not all_processes_agree(digest):
             # a safety check, not a debug assert: must survive python -O
             raise RuntimeError("epoch plan differs across processes (seed drift?)")

@@ -17,9 +17,12 @@ Usage:
 """
 
 import argparse
+import gc
 import logging
 import os
 import random
+import subprocess
+import sys
 import time
 
 import jax
@@ -253,7 +256,70 @@ class EnsembleTrainer:
             LSTMPredictor(eval_model, member).save(state, filename)
 
 
+# ---------------------------------------------------------------- auto-split
+# Round-4 registry runs found two families whose 5-member vmapped ensemble
+# exceeds one chip: nmmp HBM-OOMed (fixed at the root in ops/pooling/nongrid
+# by the linear-decomposed message pass) and dir_social crashed the TPU
+# worker outright.  Rather than shell-script babysitting, the trainer now
+# splits the member axis on resource failures: 5 -> 3+2 -> ... -> 1, each
+# chunk retrained in a FRESH subprocess (a crashed worker can wedge the
+# parent's TPU client, so in-process retry is not enough).
+
+_RESOURCE_MARKERS = (
+    "resource_exhausted",
+    "ran out of memory",
+    "out of memory",
+    "oom",
+    "kernel fault",
+    "crashed or restarted",
+    "data_loss",
+)
+
+
+def is_resource_failure(exc: BaseException) -> bool:
+    """True for OOM / TPU-worker-crash failures worth retrying split."""
+    msg = f"{type(exc).__name__}: {exc}".lower()
+    return any(m in msg for m in _RESOURCE_MARKERS)
+
+
+def split_members(seeds):
+    """Ceil-half member split preserving order: [a,b,c,d,e] -> [a,b,c],[d,e]."""
+    if len(seeds) < 2:
+        raise ValueError("cannot split a single member")
+    half = (len(seeds) + 1) // 2
+    return [list(seeds[:half]), list(seeds[half:])]
+
+
+def argv_with_seeds(argv, seeds):
+    """Copy of a CLI argv with any --seeds group replaced by `seeds`."""
+    out, i = [], 0
+    while i < len(argv):
+        if argv[i] == "--seeds":
+            i += 1
+            while i < len(argv) and not argv[i].startswith("--"):
+                i += 1
+            continue
+        out.append(argv[i])
+        i += 1
+    return out + ["--seeds"] + [str(s) for s in seeds]
+
+
+def _run_chunks(argv, chunks, log):
+    for chunk in chunks:
+        chunk_argv = argv_with_seeds(argv, chunk)
+        log.warning({"type": "ensemble-split-chunk", "seeds": chunk})
+        rc = subprocess.call(
+            [sys.executable, "-m", "trajnetplusplusbaselines_tpu.trainers.ensemble"]
+            + chunk_argv
+        )
+        if rc != 0:
+            raise SystemExit(
+                f"ensemble auto-split chunk {chunk} failed with rc={rc}"
+            )
+
+
 def main(epochs=25, argv=None):
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
     parser = argparse.ArgumentParser()
     add_arguments(parser, epochs)
     parser.add_argument("--seeds", type=int, nargs="+",
@@ -262,6 +328,9 @@ def main(epochs=25, argv=None):
                         help="appended to each member's seed<k> output name "
                              "(variant runs must not overwrite the protocol "
                              "checkpoints)")
+    parser.add_argument("--no_autosplit", action="store_true",
+                        help="fail outright on OOM/worker-crash instead of "
+                             "retraining member chunks in subprocesses")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -290,25 +359,6 @@ def main(epochs=25, argv=None):
         data_path, subset="/val/", sample=args.sample, goals=args.goals
     )
 
-    pool = make_pool(args.type, args)
-    model = LSTM(
-        pool=pool,
-        embedding_dim=args.coordinate_embedding_dim,
-        hidden_dim=args.hidden_dim,
-        goal_flag=args.goals,
-        goal_dim=args.goal_dim,
-    )
-    model.remat = args.remat
-    compute_dtype = jnp.bfloat16 if args.bf16 else None
-    if compute_dtype is not None:
-        model.with_dtype(compute_dtype)
-    stacked = jax.vmap(model.init_params)(
-        jnp.stack([jax.random.PRNGKey(s) for s in args.seeds])
-    )
-
-    optimizer = make_optimizer(weight_decay=1e-4, clip_grad=args.clip_grad)
-    lr_schedule = step_lr(args.lr, args.step_size)
-
     mesh = None
     if args.tp > 1:
         raise SystemExit("ensemble trainer supports --dp only (members are "
@@ -319,21 +369,61 @@ def main(epochs=25, argv=None):
 
         mesh = make_mesh(n_devices=args.dp, dp=args.dp, tp=1)
 
-    trainer = EnsembleTrainer(
-        model, stacked, optimizer, lr_schedule, args.seeds,
-        criterion=args.loss, batch_size=args.batch_size,
-        obs_length=args.obs_length, pred_length=args.pred_length,
-        augment=args.augment, augment_noise=args.augment_noise,
-        save_every=args.save_every, val_flag=val_flag,
-        compute_dtype=compute_dtype, mesh=mesh,
-    )
+    def _train_members():
+        pool = make_pool(args.type, args)
+        model = LSTM(
+            pool=pool,
+            embedding_dim=args.coordinate_embedding_dim,
+            hidden_dim=args.hidden_dim,
+            goal_flag=args.goals,
+            goal_dim=args.goal_dim,
+        )
+        model.remat = args.remat
+        compute_dtype = jnp.bfloat16 if args.bf16 else None
+        if compute_dtype is not None:
+            model.with_dtype(compute_dtype)
+        stacked = jax.vmap(model.init_params)(
+            jnp.stack([jax.random.PRNGKey(s) for s in args.seeds])
+        )
 
-    train_ds = SceneDataset(train_scenes, train_goals, args.obs_length, args.normalize_scene)
-    val_ds = (
-        SceneDataset(val_scenes, val_goals, args.obs_length, args.normalize_scene)
-        if val_scenes is not None else None
-    )
-    trainer.loop(train_ds, val_ds, outputs, epochs=args.epochs)
+        optimizer = make_optimizer(weight_decay=1e-4, clip_grad=args.clip_grad)
+        lr_schedule = step_lr(args.lr, args.step_size)
+
+        trainer = EnsembleTrainer(
+            model, stacked, optimizer, lr_schedule, args.seeds,
+            criterion=args.loss, batch_size=args.batch_size,
+            obs_length=args.obs_length, pred_length=args.pred_length,
+            augment=args.augment, augment_noise=args.augment_noise,
+            save_every=args.save_every, val_flag=val_flag,
+            compute_dtype=compute_dtype, mesh=mesh,
+        )
+
+        train_ds = SceneDataset(train_scenes, train_goals, args.obs_length,
+                                args.normalize_scene)
+        val_ds = (
+            SceneDataset(val_scenes, val_goals, args.obs_length, args.normalize_scene)
+            if val_scenes is not None else None
+        )
+        trainer.loop(train_ds, val_ds, outputs, epochs=args.epochs)
+
+    log = logging.getLogger("EnsembleTrainer")
+    try:
+        _train_members()
+    except Exception as exc:  # pylint: disable=broad-except
+        if args.no_autosplit or len(args.seeds) < 2 or not is_resource_failure(exc):
+            raise
+        chunks = split_members(args.seeds)
+        log.warning({
+            "type": "ensemble-autosplit",
+            "reason": repr(exc)[:500],
+            "seeds": args.seeds,
+            "chunks": chunks,
+        })
+        # drop the failed attempt's frames (the traceback pins the trainer
+        # and its HBM-resident buffers) before the chunk subprocesses start
+        exc = None  # noqa: F841
+        gc.collect()
+        _run_chunks(argv, chunks, log)
 
 
 if __name__ == "__main__":

@@ -83,6 +83,11 @@ class Trainer:
         self.mesh = mesh
         self._mesh_placed = False
         validate_mesh_batch(mesh, batch_size)
+        if mesh is not None and obs_dropout:
+            raise ValueError(
+                "obs_dropout uses the chunked host path, which is "
+                "single-device; it cannot be combined with a mesh"
+            )
 
     def _place_carry(self):
         """One-time mesh placement of params/opt_state (TP rule + replication)."""
@@ -403,9 +408,8 @@ def main(epochs=25, argv=None):
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(n_devices=args.dp * args.tp, dp=args.dp, tp=args.tp)
-        if args.obs_dropout:
-            raise SystemExit("--obs_dropout uses the chunked host path, which "
-                             "is single-device; drop --dp/--tp")
+        # obs_dropout-vs-mesh rejection lives in Trainer.__init__ so direct
+        # API users hit it too (advisor r4).
 
     trainer = Trainer(
         model, params, optimizer, lr_schedule, criterion=args.loss,
