@@ -208,3 +208,54 @@ def test_multiprocess_prediction_fanout(dataset_tree, monkeypatch):
     parts = [list(mh.shard_items(datasets, pi, 2)) for pi in range(2)]
     assert sorted(sum(parts, [])) == sorted(datasets)
     assert all(len(p) == 1 for p in parts)
+
+
+def test_fill_missing_backfills_only_absent_datasets(dataset_tree, capsys):
+    """--fill_missing keeps an existing prediction dir and predicts only the
+    test datasets it lacks (the collision_test gate backfill path); a
+    complete dir skips without calling the predictor (VERDICT r4 #5)."""
+    import shutil
+
+    args = make_args(dataset_tree)
+    os.makedirs(args.path, exist_ok=True)
+
+    def cv_predictor(paths, goal):
+        return constant_velocity.predict(
+            paths, n_predict=args.pred_length, obs_length=args.obs_length
+        )
+
+    get_predictions({"cv_modes1": cv_predictor}, args)
+    assert os.path.exists(os.path.join(args.path, "cv_modes1", "synth.ndjson"))
+
+    # a second test dataset arrives after the dir was created
+    test_dir = args.path.replace("test_pred/", "test")
+    priv_dir = args.path.replace("test_pred/", "test_private")
+    shutil.copy(os.path.join(test_dir, "synth.ndjson"),
+                os.path.join(test_dir, "synth2.ndjson"))
+    shutil.copy(os.path.join(priv_dir, "synth.ndjson"),
+                os.path.join(priv_dir, "synth2.ndjson"))
+
+    # without fill_missing: dir exists -> skip, no backfill
+    get_predictions({"cv_modes1": cv_predictor}, args)
+    assert not os.path.exists(os.path.join(args.path, "cv_modes1", "synth2.ndjson"))
+
+    calls = []
+
+    def counting_predictor(paths, goal):
+        calls.append(1)
+        return cv_predictor(paths, goal)
+
+    args.fill_missing = True
+    before = os.path.getmtime(os.path.join(args.path, "cv_modes1", "synth.ndjson"))
+    get_predictions({"cv_modes1": counting_predictor}, args)
+    assert os.path.exists(os.path.join(args.path, "cv_modes1", "synth2.ndjson"))
+    # only synth2's 4 scenes were predicted; synth.ndjson untouched
+    assert len(calls) == 4
+    assert os.path.getmtime(
+        os.path.join(args.path, "cv_modes1", "synth.ndjson")) == before
+
+    # now complete: fill_missing skips without predicting
+    calls.clear()
+    get_predictions({"cv_modes1": counting_predictor}, args)
+    assert calls == []
+    assert "already exist" in capsys.readouterr().out

@@ -58,9 +58,25 @@ def get_predictions(predictors: Dict[str, Callable], args) -> None:
         import jax
     datasets = list_test_datasets(args.path)
 
+    fill_missing = getattr(args, "fill_missing", False)
+    if fill_missing and multiproc:
+        raise ValueError("--fill_missing is a single-process backfill mode")
+
     for model_name, predictor in predictors.items():
         model_dir = os.path.join(args.path, model_name)
-        skip = os.path.exists(model_dir)
+        todo = datasets
+        if fill_missing and os.path.exists(model_dir):
+            # backfill mode: keep the existing prediction dir, predict only
+            # the test datasets it has no output file for (e.g. adding the
+            # collision_test gate scene to already-evaluated models)
+            todo = [
+                d for d in datasets
+                if not os.path.exists(os.path.join(model_dir, d + ".ndjson"))
+            ]
+            if not todo:
+                print(f"Predictions corresponding to {model_name} already exist.")
+                continue
+        skip = os.path.exists(model_dir) and not fill_missing
         if multiproc:
             # decide the skip on process 0 and broadcast it: NFS attribute
             # caching can make model_dir visibility diverge across hosts
@@ -96,7 +112,7 @@ def get_predictions(predictors: Dict[str, Callable], args) -> None:
             predictor, "goal_flag", getattr(args, "goal_flag", False)
         )
 
-        for dataset in (shard_items(datasets) if multiproc else datasets):
+        for dataset in (shard_items(todo) if multiproc else todo):
             dataset_name, scenes, scene_goals = load_test_datasets(
                 dataset, goal_flag, args
             )
@@ -123,6 +139,11 @@ def get_predictions(predictors: Dict[str, Callable], args) -> None:
             # second barrier: no host may proceed (e.g. into evaluation)
             # until the rename has been published
             multihost_utils.sync_global_devices(f"published:{model_name}")
+        elif fill_missing and os.path.exists(model_dir):
+            # move the backfilled files into the existing dir one by one
+            for f in os.listdir(tmp_dir):
+                os.replace(os.path.join(tmp_dir, f), os.path.join(model_dir, f))
+            os.rmdir(tmp_dir)
         else:
             os.rename(tmp_dir, model_dir)
 

@@ -34,6 +34,10 @@ def main(argv=None):
                         help="read-only source DATA_BLOCK to link test/test_private from")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (the TPU tunnel can be slow/flaky)")
+    parser.add_argument("--fill_missing", action="store_true",
+                        help="backfill mode: keep existing prediction dirs and "
+                             "predict only test datasets they lack (e.g. the "
+                             "collision_test gate scene)")
     args = parser.parse_args(argv)
 
     if args.cpu:

@@ -28,12 +28,22 @@ def load_test_datasets(dataset: str, goal_flag: bool, args):
 
     if goal_flag:
         goal_file = os.path.join("goal_files", "test_private", dataset + ".pkl")
-        with open(goal_file, "rb") as f:
-            goal_dict = pickle.load(f)
-        all_goals = {
-            s_id: [goal_dict[path[0].pedestrian] for path in s] for _, s_id, s in scenes
-        }
-        scene_goals = [np.array(all_goals[scene_id]) for _, scene_id, _ in scenes]
+        try:
+            with open(goal_file, "rb") as f:
+                goal_dict = pickle.load(f)
+        except FileNotFoundError:
+            # synthetic gate datasets (collision_test) ship no goal files;
+            # fall back to zero goals rather than failing the whole eval
+            print(f"no goal file for {dataset}; using zero goals")
+            goal_dict = None
+        if goal_dict is None:
+            scene_goals = [np.zeros((len(paths), 2)) for _, _, paths in scenes]
+        else:
+            all_goals = {
+                s_id: [goal_dict[path[0].pedestrian] for path in s]
+                for _, s_id, s in scenes
+            }
+            scene_goals = [np.array(all_goals[scene_id]) for _, scene_id, _ in scenes]
     else:
         scene_goals = [np.zeros((len(paths), 2)) for _, _, paths in scenes]
 

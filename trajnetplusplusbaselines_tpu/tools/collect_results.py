@@ -116,6 +116,27 @@ def main(argv=None):
             per_model.update(json.load(f).get("per_model", {}))
     for name in models:
         per_model[name] = cached_metrics(name, args)
+
+    # annotate the collision_test Pass/Fail gate (reference renders this per
+    # model, /root/reference/evaluator/trajnet_evaluator.py:195-207): from
+    # the model's own prediction dir, the gate_pred backfill tree
+    # (tools/collision_gate.py), or the gate JSON those runs record
+    from ..evaluator.trajnet_evaluator import collision_test
+
+    block = os.path.dirname(args.path.rstrip("/"))
+    gate_json = os.path.join(block, "collision_gate.json")
+    gates = {}
+    if os.path.exists(gate_json):
+        with open(gate_json) as f:
+            gates = json.load(f)
+    for name, m in per_model.items():
+        for root in (args.path, os.path.join(block, "gate_pred") + "/"):
+            if os.path.exists(os.path.join(root, name, "collision_test.ndjson")):
+                a = argparse.Namespace(path=root, pred_length=args.pred_length)
+                m["col_test"] = collision_test(["collision_test.ndjson"], name, a)
+                break
+        else:
+            m["col_test"] = gates.get(name, "NA")
         m = per_model[name]
         print(f"{name:55s} ade {m['ade']:.3f} fde {m['fde']:.3f} "
               f"col-I {m['col_i']:.2f} col-II {m['col_ii']:.2f}", flush=True)
@@ -140,13 +161,23 @@ def main(argv=None):
                 "std": float(vals.std(ddof=0)),
                 "n": len(vals),
             }
+        gate_vals = [r.get("col_test", "NA") for r in rows]
+        agg["col_test"] = {
+            "pass": gate_vals.count("Pass"),
+            "fail": gate_vals.count("Fail"),
+            "na": gate_vals.count("NA"),
+        }
         summary[group] = agg
         a, f_, ci, cii = agg["ade"], agg["fde"], agg["col_i"], agg["col_ii"]
+        ct = agg["col_test"]
+        gate = ("NA" if ct["na"] == len(rows)
+                else f"{ct['pass']}/{ct['pass'] + ct['fail']}P")
         print(
             f"{group:55s} ade {a['mean']:.2f}+-{a['std']:.2f} "
             f"fde {f_['mean']:.2f}+-{f_['std']:.2f} "
             f"col-I {ci['mean']:.1f}+-{ci['std']:.1f} "
-            f"col-II {cii['mean']:.1f}+-{cii['std']:.1f} ({a['n']} seeds)"
+            f"col-II {cii['mean']:.1f}+-{cii['std']:.1f} ({a['n']} seeds) "
+            f"col_test {gate}"
         )
 
     if args.out:
