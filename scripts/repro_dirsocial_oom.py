@@ -30,6 +30,9 @@ def main():
     p.add_argument("--a", type=int, default=128, help="agent slots per scene")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--scan", type=int, default=0,
+                   help="scan a resident mini-epoch of N batches (0 = one "
+                        "unscanned step)")
     args = p.parse_args()
 
     import jax
@@ -56,20 +59,52 @@ def main():
     slot = jnp.ones((b, a), bool)
     scene = jnp.ones((b,), bool)
 
-    def loss_fn(params):
+    def loss_fn(params, xy, mask, goals, slot):
         rel, _, _ = model.forward(
             params, xy[:9], mask[:9], goals, slot,
             prediction_truth=xy[9:20], prediction_truth_mask=mask[9:20],
         )
         return jnp.sum(rel[-12:, :, 0, :2])
 
-    @jax.jit
-    def step(params):
-        return jax.vmap(jax.value_and_grad(loss_fn))(params)
+    if args.scan == 0:
+        @jax.jit
+        def step(params):
+            return jax.vmap(
+                jax.value_and_grad(lambda p: loss_fn(p, xy, mask, goals, slot))
+            )(params)
 
-    loss, grads = step(stacked)
-    print(f"ok: members={args.members} A={a} remat={args.remat} "
-          f"loss[0]={float(loss[0]):.3f}")
+        loss, grads = step(stacked)
+        print(f"ok: members={args.members} A={a} remat={args.remat} "
+              f"loss[0]={float(loss[0]):.3f}")
+        return
+
+    # scanned mini-epoch: the production bucket runner's shape — resident
+    # [N, T, B, A, 2] batches on device, lax.scan over them with a donated
+    # params carry (trainers/common.py make_bucket_epoch_runner)
+    n = args.scan
+    res_xy = jnp.asarray(
+        (rng.normal(size=(n, t, b, a, 2)).cumsum(1) * 0.3), jnp.float32)
+    res_mask = jnp.ones((n, t, b, a), bool)
+    res_goals = jnp.zeros((n, b, a, 2), jnp.float32)
+    res_slot = jnp.ones((n, b, a), bool)
+
+    @jax.jit
+    def epoch(params):
+        def body(carry, batch):
+            bxy, bmask, bgoals, bslot = batch
+            loss, grads = jax.vmap(
+                jax.value_and_grad(
+                    lambda p: loss_fn(p, bxy, bmask, bgoals, bslot))
+            )(carry)
+            carry = jax.tree.map(lambda p, g: p - 1e-3 * g, carry, grads)
+            return carry, loss
+
+        return jax.lax.scan(body, params,
+                            (res_xy, res_mask, res_goals, res_slot))
+
+    params2, losses = epoch(stacked)
+    print(f"ok: members={args.members} A={a} remat={args.remat} scan={n} "
+          f"loss[0,0]={float(losses[0][0]):.3f}")
 
 
 if __name__ == "__main__":

@@ -72,6 +72,17 @@ def test_autosplit_helpers():
     assert not ens.is_resource_failure(ValueError("bad flag"))
 
 
+def test_ensemble_rejects_tp(data_tree):
+    """--tp must error loudly: the stacked [E, ...] member layout has no
+    model-parallel sharding rule (VERDICT r4 #8)."""
+    from trajnetplusplusbaselines_tpu.trainers import ensemble as ens
+
+    argv = ["--epochs", "1", "--path", "synthset", "--type", "occupancy",
+            "--seeds", "7", "11", "--tp", "2"]
+    with pytest.raises(SystemExit, match="--dp only"):
+        ens.main(argv=argv)
+
+
 def test_autosplit_retrains_member_chunks(data_tree, monkeypatch):
     """On an OOM/worker-crash resource failure, the ensemble trainer splits
     the member axis and retrains each chunk in a fresh subprocess with the
