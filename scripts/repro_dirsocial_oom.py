@@ -11,9 +11,21 @@ social hidden-state latent_dim=16), so the backward pass saves
 [E, B, A, G, 18]-shaped scatter inputs per rollout step — at A=128 slots
 that is the HBM cliff the occupancy/directional/social singles do not hit.
 
+Round-5 findings on the real chip (v5e, 16G HBM):
+    --members 5 --a 128            ok   (one unscanned step FITS)
+    --members 5 --a 128 --scan 8   ok   (scanned mini-epoch FITS)
+so the exhaustion is not a single-step or lax.scan pathology: it needs the
+PRODUCTION context — the full resident dataset (~10k batches of [T,B,A]
+buckets device_put into HBM) plus the 5-member dir_social step working set.
+Those fit individually; together they cross 16G (nmmp overshot by 275 MB
+the same way until its message pass was linear-decomposed).  Mitigation is
+therefore capacity management, not a kernel fix: the ensemble trainer
+auto-splits the member axis on resource failures (trainers/ensemble.py),
+which round-5 proved end-to-end for dir_social (5 -> 3+2, both chunks
+trained; dirsocial_asplit_r5.log).
+
 Usage (real chip):
-    python scripts/repro_dirsocial_oom.py --members 5 --a 128   # exhausts
-    python scripts/repro_dirsocial_oom.py --members 2 --a 128   # fits?
+    python scripts/repro_dirsocial_oom.py --members 5 --a 128 [--scan 8]
 """
 import argparse
 import os

@@ -122,8 +122,13 @@ class LSTM:
         present2: jnp.ndarray,
         goals: jnp.ndarray,
         slot_mask: jnp.ndarray,
+        pooled: Optional[jnp.ndarray] = None,
     ) -> Tuple[StepCarry, jnp.ndarray, jnp.ndarray]:
-        """One recurrence step. Returns (carry, normal [S,A,5], mask [S,A])."""
+        """One recurrence step. Returns (carry, normal [S,A,5], mask [S,A]).
+
+        pooled: precomputed interaction features [S, A, p] for this step
+        (position-only pools batched over the whole observation phase,
+        encode()); None computes them here."""
         mask = present1 & present2  # participating tracks
         vel = (obs2 - obs1) * mask[..., None]
         inp = input_embedding(params["input_embedding"], vel)
@@ -138,9 +143,11 @@ class LSTM:
 
         h, c, pool_state = carry
         if self.pool is not None:
-            pooled, pool_state = self.pool.apply(
-                params["pool"], pool_state, h, obs1, obs2, present1, present2, slot_mask
-            )
+            if pooled is None:
+                pooled, pool_state = self.pool.apply(
+                    params["pool"], pool_state, h, obs1, obs2, present1,
+                    present2, slot_mask
+                )
             if self.pool_to_input:
                 inp = jnp.concatenate([inp, pooled], axis=-1)
             else:
@@ -162,17 +169,54 @@ class LSTM:
         [T-1,S,A,2], position validity [T-1,S,A]).
         """
 
+        # Position-only pools (directional/occupancy grids) read neither the
+        # hidden state nor any pool state, so the WHOLE observation phase
+        # pools in one batched dispatch with time folded into the scene axis
+        # — identical values (tests/test_static_pool.py), but the grid
+        # scatter + embedding MLP run as one (T-1)·S-row program instead of
+        # T-1 small per-step programs trapped in the serial scan (measured
+        # ceiling: docs/ceiling_proof_r5.jsonl).
+        # Fold only while the batched grid tensor stays VMEM-friendly: at
+        # (T-1)·S·A agent-rows beyond ~64k the materialized [rows, A, G, D]
+        # intermediate spills the per-step VMEM working set into HBM and the
+        # fold LOSES (measured at the S=131k bench shape: 311k vs 368k
+        # scenes/s), while latency-bound shapes (training batch 8, eval
+        # batch 64) gain ~20% (BENCH train_scenes_per_sec 23.7k -> 28.7k).
+        pooled_seq = None
+        fold_rows = (observed.shape[0] - 1) * observed.shape[1] * observed.shape[2]
+        if (self.pool is not None and getattr(self.pool, "position_only", False)
+                and fold_rows <= getattr(self, "pool_fold_limit", 65536)):
+            tm1, s, a = observed.shape[0] - 1, observed.shape[1], observed.shape[2]
+
+            def fold(x):
+                return x.reshape((tm1 * s,) + x.shape[2:])
+
+            pooled_all, _ = self.pool.apply(
+                params["pool"], None, None,
+                fold(observed[:-1]), fold(observed[1:]),
+                fold(observed_mask[:-1]), fold(observed_mask[1:]),
+                jnp.tile(slot_mask, (tm1, 1)),
+            )
+            pooled_seq = pooled_all.reshape(tm1, s, a, -1)
+
         def body(carry, inputs):
-            obs1, obs2, p1, p2 = inputs
+            obs1, obs2, p1, p2, pooled = inputs
             carry, normal, mask = self.step(
-                params, "encoder", carry, obs1, obs2, p1, p2, goals, slot_mask
+                params, "encoder", carry, obs1, obs2, p1, p2, goals, slot_mask,
+                pooled=pooled,
             )
             position = (obs2 + normal[..., :2]) * mask[..., None]
             return carry, (normal, mask, position)
 
         if getattr(self, "remat", False):
             body = jax.checkpoint(body)
-        inputs = (observed[:-1], observed[1:], observed_mask[:-1], observed_mask[1:])
+        inputs = (observed[:-1], observed[1:], observed_mask[:-1],
+                  observed_mask[1:], pooled_seq)
+        if pooled_seq is None:
+            def body(carry, inputs, _inner=body):  # noqa: F811
+                return _inner(carry, inputs + (None,))
+
+            inputs = inputs[:4]
         carry, (normals, masks, positions) = jax.lax.scan(
             body, carry, inputs, unroll=getattr(self, "scan_unroll", 1)
         )

@@ -247,6 +247,17 @@ class GridBasedPooling:
         shape = (num_scenes, num_agents, self.hidden_dim)
         return (jnp.zeros(shape), jnp.zeros(shape))
 
+    @property
+    def position_only(self) -> bool:
+        """True when apply() is a pure function of positions/masks.
+
+        occupancy/directional grids read neither the LSTM hidden state nor
+        any pool state (unless the stateful lstm_layer encoder is on), so a
+        whole observation phase can be pooled in ONE batched dispatch with
+        time folded into the scene axis (models/lstm.py encode) — identical
+        math, MXU-friendlier shapes."""
+        return self.type_ in ("occupancy", "directional") and not self.stateful
+
     # ----------------------------------------------------------------- grids
     def _grid_values(self, hidden, obs1, obs2, present1, present2, params):
         """Per-pair fill values [S, A, A, D] and their validity [S, A, A]."""
