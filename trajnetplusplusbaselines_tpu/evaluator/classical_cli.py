@@ -86,7 +86,18 @@ def main(argv=None):
         default=None,
         help="read-only source DATA_BLOCK to link test/test_private from",
     )
+    parser.add_argument("--fill_missing", action="store_true",
+                        help="backfill mode: keep existing prediction dirs and "
+                             "predict only test datasets they lack")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (classical predictors "
+                             "must not become TPU clients)")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     dataset = args.path
     args.path = "DATA_BLOCK/" + args.path + "/test_pred/"
