@@ -18,7 +18,7 @@ stage() { # module type modes extra...
   else
     echo "TRAIN $out $(date +%T)" >>"$log"
     timeout 7200 python -m "trajnetplusplusbaselines_tpu.trainers.$module" \
-      --type "$type" --augment --save_every 20 --seed 42 \
+      --type "$type" --augment --save_every 20 --seed 42 --output seed42 \
       --path "$path" "$@" >>"$log" 2>&1 || {
         echo "TRAIN FAILED $out rc=$? $(date +%T)" >>"$log"; return 1; }
   fi
