@@ -24,15 +24,24 @@ def _batch(t=9, s=4, a=6, seed=0):
             jnp.asarray(slot))
 
 
-@pytest.mark.parametrize("type_", ["directional", "occupancy"])
+def _make_pool(type_):
+    from trajnetplusplusbaselines_tpu.ops.pooling import (
+        GridBasedPooling, NearestNeighborMLP,
+    )
+
+    if type_ == "nn":
+        return NearestNeighborMLP(n=4, out_dim=32)
+    return GridBasedPooling(type_=type_, hidden_dim=32, cell_side=0.6, n=8,
+                            out_dim=32)
+
+
+@pytest.mark.parametrize("type_", ["directional", "occupancy", "nn"])
 def test_batched_obs_pooling_bitexact(type_):
     import jax
 
     from trajnetplusplusbaselines_tpu.models.lstm import LSTM
-    from trajnetplusplusbaselines_tpu.ops.pooling import GridBasedPooling
 
-    pool = GridBasedPooling(type_=type_, hidden_dim=32, cell_side=0.6, n=8,
-                            out_dim=32)
+    pool = _make_pool(type_)
     assert pool.position_only
     model = LSTM(pool=pool, embedding_dim=16, hidden_dim=32)
     params = model.init_params(jax.random.PRNGKey(0))

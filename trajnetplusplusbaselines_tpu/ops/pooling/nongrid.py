@@ -205,6 +205,9 @@ class NearestNeighborMLP:
     """Concatenated embeddings of the top-n nearest neighbours."""
 
     stateful = False
+    # pure function of positions/masks: eligible for the batched
+    # observation-phase fold (models/lstm.py encode)
+    position_only = True
 
     def __init__(self, n=4, out_dim=32, no_vel=False):
         self.n = n
