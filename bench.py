@@ -227,14 +227,28 @@ def run_bench():
     goals = np.zeros((s, a, 2), dtype)
     slot = np.ones((s, a), bool)
 
+    # Four independent scene groups in one program: the chains share no data,
+    # so XLA's latency-hiding scheduler overlaps one group's VPU pooling with
+    # another's MXU gate matmuls across the 20-step serial chain (round-5
+    # probe, scripts/bench_pipeline_probe.py: 367.3k/374.8k/377.5k scenes/s
+    # for 1/2/4 groups).  Same scenes, same math — just explicit independence.
+    groups = 4
+
     @jax.jit
     def rollout(params, xy, mask, goals, slot):
-        rel, pred, valid = model.forward(
-            params, xy[:9], mask[:9], goals, slot, n_predict=12
-        )
-        # scalar reduce: forces full on-device execution; float() below is the
-        # host sync (block_until_ready is unreliable through the TPU tunnel)
-        return jnp.sum(pred.astype(jnp.float32))
+        total = jnp.float32(0)
+        gs = xy.shape[1] // groups
+        for g in range(groups):
+            sl = slice(g * gs, (g + 1) * gs)
+            rel, pred, valid = model.forward(
+                params, xy[:9, sl], mask[:9, sl], goals[sl], slot[sl],
+                n_predict=12,
+            )
+            # scalar reduce: forces full on-device execution; float() below is
+            # the host sync (block_until_ready is unreliable through the
+            # TPU tunnel)
+            total = total + jnp.sum(pred.astype(jnp.float32))
+        return total
 
     args = (params, jnp.asarray(xy), jnp.asarray(mask), jnp.asarray(goals), jnp.asarray(slot))
     float(rollout(*args))  # compile + warmup
