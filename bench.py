@@ -227,27 +227,41 @@ def run_bench():
     goals = np.zeros((s, a, 2), dtype)
     slot = np.ones((s, a), bool)
 
-    # Four independent scene groups in one program: the chains share no data,
-    # so XLA's latency-hiding scheduler overlaps one group's VPU pooling with
-    # another's MXU gate matmuls across the 20-step serial chain (round-5
-    # probe, scripts/bench_pipeline_probe.py: 367.3k/374.8k/377.5k scenes/s
-    # for 1/2/4 groups).  Same scenes, same math — just explicit independence.
-    groups = 4
+    # Scan the rollout over 64 independent 2048-scene groups instead of one
+    # 131k-scene batch (round-5 probes, scripts/bench_pipeline_probe.py +
+    # docs/pipeline_probe_r5.json).  Two effects compound: (1) at 2048
+    # scenes the whole step working set — and the batched observation-phase
+    # pooling fold, which turns on below its ~64k agent-row gate — stays
+    # VMEM-resident instead of spilling to HBM, and (2) groups are data-
+    # independent, so the scheduler overlaps one group's VPU pooling with
+    # another's MXU matmuls inside the unroll-2 window.  Measured sweep
+    # (scenes/s): 1 group 367k, Python-loop 4/64 groups 377k/611k (compile
+    # grows with G — 382 s at 64), lax.scan G=32/64/128/256 648k/719k/625k/
+    # 653k with O(1) program size.  Same scenes, same math, same model.
+    groups, group_unroll = 64, 2
 
     @jax.jit
     def rollout(params, xy, mask, goals, slot):
-        total = jnp.float32(0)
         gs = xy.shape[1] // groups
-        for g in range(groups):
-            sl = slice(g * gs, (g + 1) * gs)
+        # group-major stacks: [G, 9, gs, A, ...]
+        xyg = jnp.moveaxis(xy[:9].reshape(9, groups, gs, a, 2), 1, 0)
+        mg = jnp.moveaxis(mask[:9].reshape(9, groups, gs, a), 1, 0)
+        gg = goals.reshape(groups, gs, a, 2)
+        sg = slot.reshape(groups, gs, a)
+
+        def body(total, xs):
+            x, m, g, sl = xs
             rel, pred, valid = model.forward(
-                params, xy[:9, sl], mask[:9, sl], goals[sl], slot[sl],
-                n_predict=12,
+                params, x, m, g, sl, n_predict=12
             )
             # scalar reduce: forces full on-device execution; float() below is
             # the host sync (block_until_ready is unreliable through the
             # TPU tunnel)
-            total = total + jnp.sum(pred.astype(jnp.float32))
+            return total + jnp.sum(pred.astype(jnp.float32)), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.float32(0), (xyg, mg, gg, sg), unroll=group_unroll
+        )
         return total
 
     args = (params, jnp.asarray(xy), jnp.asarray(mask), jnp.asarray(goals), jnp.asarray(slot))
